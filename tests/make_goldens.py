@@ -1,0 +1,182 @@
+"""Generate the golden fixture corpus (tests/fixtures/) — run ONCE, commit
+the outputs; from then on the goldens LOCK kernel behavior (SURVEY.md §5).
+
+Each fixture is (name, url, payload bytes). Inputs are handcrafted here;
+expected outputs are produced by the kernels at generation time and frozen
+in git. `python tests/make_goldens.py` regenerates — diff before committing.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import random
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from universal_text_extractor_spark.kernels import extract_payload, detect_content_type
+from universal_text_extractor_spark.kernels.html_kernel import extract_main_content
+from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
+
+FIX = pathlib.Path(__file__).parent / "fixtures"
+
+
+def _mk_png(w=64, h=32):
+    import struct, zlib
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def fixtures() -> list[tuple[str, str, bytes]]:
+    rng = random.Random(7)
+    docs: list[tuple[str, str, bytes]] = []
+
+    docs.append((
+        "html_title_entities", "https://h0.example.com/a/page.html",
+        b"<html><head><title>Fish &amp; Chips</title><style>p{x:1}</style>"
+        b"<script>if(1<2){alert('x');}</script></head><body>"
+        b"<h1>Heading One</h1><p>Alpha beta  gamma delta.</p>"
+        b"<p>Second &lt;para&gt; here.</p></body></html>",
+    ))
+    docs.append((
+        "html_no_title", "https://h0.example.com/a/notitle.htm",
+        b"<html><body><p>No title doc.</p><div>Nested <b>bold</b> text</div></body></html>",
+    ))
+    docs.append((
+        "html_malformed_truncated", "https://h1.example.com/b/cut.html",
+        b"<html><head><title>Cut</title></head><body><p>First para<p>Seco",
+    ))
+    docs.append((
+        "html_unclosed", "https://h1.example.com/b/unclosed.html",
+        b"<html><body><div><p>One<p>Two<ul><li>Three</body>",
+    ))
+    docs.append((
+        "html_utf16_bom", "https://h2.example.com/c/enc16.html",
+        b"\xff\xfe" + "<html><head><title>Café</title></head><body><p>Résumé text long enough here.</p></body></html>".encode("utf-16-le"),
+    ))
+    docs.append((
+        "html_windows1252", "https://h2.example.com/c/enc1252.html",
+        "<html><body><p>Naïve façade — café au lait.</p></body></html>".encode("windows-1252"),
+    ))
+    docs.append((
+        "html_sniffed_no_ext", "https://h3.example.com/c/page",
+        b"  \n\t<!DOCTYPE HTML><html><head><title>Sniffed</title></head><body><p>Body here.</p></body></html>",
+    ))
+    docs.append((
+        "html_boilerplate", "https://h3.example.com/d/boiler.html",
+        b"<html><head><title>B</title></head><body>"
+        b"<nav><a href='/'>Home</a> <a href='/a'>About</a> <a href='/c'>Contact</a></nav>"
+        b"<h2>Real Headline</h2>"
+        b"<p>This is the genuine article body content with plenty of characters to keep.</p>"
+        b"<div><a href='1'>link one</a> <a href='2'>link two</a> <a href='3'>link three</a> <a href='4'>link four</a></div>"
+        b"<footer>Copyright 2025 Example Corp</footer></body></html>",
+    ))
+    docs.append(("html_empty", "https://h4.example.com/e/empty.html", b""))
+
+    docs.append((
+        "xml_nested", "https://h5.example.com/f/data.xml",
+        b"<catalog region='west'><item id='1'><name>widget</name></item>"
+        b"<item id='2'><name>gadget</name><note>fragile  item</note></item></catalog>",
+    ))
+    docs.append((
+        "xml_invalid_fallback", "https://h5.example.com/f/bad.xml",
+        b"<catalog><item>one</item><item>two</item>",
+    ))
+
+    docs.append((
+        "txt_plain", "https://h6.example.com/g/note.txt",
+        b"Plain text line one.\nLine two with  double space.\n",
+    ))
+    docs.append(("txt_empty", "https://h6.example.com/g/empty.txt", b""))
+    docs.append((
+        "txt_invalid_utf8", "https://h6.example.com/g/broken.txt",
+        b"Good start \xff\xfe\xfa bad bytes end.",
+    ))
+
+    docs.append((
+        "csv_quoted", "https://h7.example.com/h/table.csv",
+        b'name,desc,qty\n"Smith, John","He said ""hi""",3\nplain,"multi\nline",7\n',
+    ))
+
+    docs.append((
+        "rtf_basic", "https://h8.example.com/i/doc.rtf",
+        rb"{\rtf1\ansi\deff0{\fonttbl{\f0 Helvetica;}}\f0\fs24 Hello \b bold\b0  world.\par Second\tab line \'e9 and \u233? done.\par}",
+    ))
+
+    docs.append((
+        "eml_multipart", "https://h9.example.com/j/mail.eml",
+        b"From: Alice <alice@example.com>\r\nTo: bob@example.com\r\n"
+        b"Subject: Test message\r\nDate: Mon, 06 Jan 2025 10:00:00 +0000\r\n"
+        b"MIME-Version: 1.0\r\nContent-Type: multipart/alternative; boundary=XYZ\r\n\r\n"
+        b"--XYZ\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+        b"Plain body text.\r\n"
+        b"--XYZ\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        b"<html><body><p>HTML body</p></body></html>\r\n"
+        b"--XYZ\r\nContent-Type: application/pdf\r\nContent-Disposition: attachment; filename=x.pdf\r\n\r\nBINARY\r\n"
+        b"--XYZ--\r\n",
+    ))
+    docs.append((
+        "eml_html_only", "https://h9.example.com/j/htmlonly.eml",
+        b"From: carol@example.com\r\nSubject: HTML only\r\n"
+        b"MIME-Version: 1.0\r\nContent-Type: multipart/alternative; boundary=AB\r\n\r\n"
+        b"--AB\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        b"<html><body><h1>Only &amp; HTML</h1><p>body text</p></body></html>\r\n"
+        b"--AB--\r\n",
+    ))
+    docs.append((
+        "eml_simple", "https://h9.example.com/j/simple.eml",
+        b"From: dan@example.com\r\nTo: erin@example.com\r\nSubject: Hi\r\n\r\nJust a simple body.\r\n",
+    ))
+
+    docs.append(("pdf_one_page", "https://ha.example.com/k/a.pdf",
+                 _pdf_doc_pages(random.Random(11), npages=1, flate=False)))
+    docs.append(("pdf_two_page_flate", "https://ha.example.com/k/b.pdf",
+                 _pdf_doc_pages(random.Random(12), npages=2, flate=True)))
+    docs.append(("pdf_image_based", "https://ha.example.com/k/scan.pdf",
+                 _pdf_doc_pages(random.Random(13), npages=2, flate=False, empty=True)))
+    good = _pdf_doc_pages(random.Random(14), npages=1, flate=False)
+    docs.append(("pdf_truncated", "https://ha.example.com/k/cut.pdf", good[: len(good) // 3]))
+    docs.append(("pdf_not_a_pdf", "https://ha.example.com/k/fake.pdf", b"this is not a pdf at all"))
+
+    docs.append(("image_png", "https://hb.example.com/l/pic.png", _mk_png(640, 480)))
+    docs.append(("image_gif", "https://hb.example.com/l/anim.gif",
+                 b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6))
+    docs.append(("image_corrupt", "https://hb.example.com/l/bad.jpg", b"\xff\xd8\xff\x00trunc"))
+
+    docs.append(("junk_binary", "https://hc.example.com/m/blob",
+                 bytes(rng.getrandbits(8) for _ in range(128))))
+    docs.append(("stubbed_docx", "https://hc.example.com/m/word.docx", b"PK\x03\x04fakezip"))
+    return docs
+
+
+def main() -> None:
+    FIX.mkdir(parents=True, exist_ok=True)
+    manifest = []
+    for name, url, payload in fixtures():
+        ct = detect_content_type(url, payload)
+        text, ocr_used, success, error, logs = extract_payload(url, payload, ct)
+        (FIX / f"{name}.bin").write_bytes(payload)
+        (FIX / f"{name}.expected.txt").write_bytes(text.encode("utf-8"))
+        entry = {
+            "name": name, "url": url, "content_type": ct,
+            "ocr_used": ocr_used, "success": success, "error": error,
+        }
+        if ct == "html":
+            from universal_text_extractor_spark.kernels.charset import detect_and_decode
+            (FIX / f"{name}.main.txt").write_bytes(
+                extract_main_content(detect_and_decode(payload)).encode("utf-8")
+            )
+            entry["has_main"] = True
+        manifest.append(entry)
+    (FIX / "manifest.json").write_text(json.dumps(manifest, indent=1))
+    print(f"wrote {len(manifest)} fixtures to {FIX}")
+
+
+if __name__ == "__main__":
+    main()

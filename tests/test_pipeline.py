@@ -1,0 +1,95 @@
+"""End-to-end pipeline tests (SURVEY.md §5 item 3): per-url byte-identity of
+the Spark pipeline vs the kernel oracle for 100% of urls, lineage-table
+invariants, and the single-reused-shuffle physical-plan property."""
+
+from __future__ import annotations
+
+import re
+
+from universal_text_extractor_spark.kernels import detect_content_type, extract_payload
+from universal_text_extractor_spark.operators.extract import (
+    extract_pages,
+    lineage_metrics,
+)
+from universal_text_extractor_spark.sources.pages_gen import (
+    generate_pages_df,
+    make_page,
+)
+
+N = 1000
+
+
+def _oracle(i: int):
+    p = make_page(i)
+    ct = detect_content_type(p["url"], p["html"])
+    text, ocr_used, success, error, _ = extract_payload(p["url"], p["html"], ct)
+    return p["url"], ct, text, ocr_used, success, error
+
+
+def test_pipeline_byte_identity(spark):
+    pages = generate_pages_df(spark, N, partitions=4)
+    ext = extract_pages(pages, num_partitions=8)
+    rows = {r["url"]: r for r in ext.collect()}
+    assert len(rows) == N
+    bad = []
+    for i in range(N):
+        url, ct, text, ocr_used, success, error = _oracle(i)
+        r = rows[url]
+        if (
+            r["content_type"] != ct
+            or r["text"] != text
+            or r["ocr_used"] != ocr_used
+            or r["success"] != success
+            or r["error"] != error
+        ):
+            bad.append(url)
+    assert not bad, f"{len(bad)} mismatching urls, e.g. {bad[:5]}"
+
+
+def test_lineage_invariants(spark):
+    pages = generate_pages_df(spark, N, partitions=4)
+    ext = extract_pages(pages, num_partitions=8).cache()
+    try:
+        metrics = lineage_metrics(ext, run_id="testrun").collect()
+        # Σ doc_count = input row count (FIXTURES.md §2)
+        assert sum(m["doc_count"] for m in metrics) == N
+        # every post-shuffle partition that held rows has exactly one row
+        pids = [m["partition_id"] for m in metrics]
+        assert len(pids) == len(set(pids))
+        # failure_count consistency with the extracted table
+        failures = ext.filter("NOT success").count()
+        assert sum(m["failure_count"] for m in metrics) == failures
+        # byte accounting
+        total_bytes = sum(m["input_bytes"] for m in metrics)
+        assert total_bytes == sum(len(make_page(i)["html"]) for i in range(N))
+        for m in metrics:
+            assert m["byte_range_start"] <= m["byte_range_end"]
+            assert m["extraction_latency"] >= 0.0
+    finally:
+        ext.unpersist()
+
+
+def test_single_shuffle_reused(spark):
+    """The branch fan-out must not re-shuffle per branch: exactly one real
+    Exchange for the salted repartition; all other branches see a
+    ReusedExchange (scale property — SURVEY.md §3.1)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pages = generate_pages_df(spark, 50, partitions=2)
+        ext = extract_pages(pages, num_partitions=4)
+        plan = ext._jdf.queryExecution().executedPlan().toString()
+        n_branches = plan.count("ArrowEvalPython") + 1  # +1 literal branch
+        reused = len(re.findall(r"ReusedExchange", plan))
+        assert reused >= n_branches - 1, (
+            f"expected ≥{n_branches - 1} reused exchanges:\n{plan[:2000]}"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_generator_partition_invariance(spark):
+    """Index-purity: the generated table must be identical at any
+    parallelism (prerequisite for the scaling bench)."""
+    a = {r["url"]: r["html"] for r in generate_pages_df(spark, 200, partitions=1).collect()}
+    b = {r["url"]: r["html"] for r in generate_pages_df(spark, 200, partitions=7).collect()}
+    assert a == b

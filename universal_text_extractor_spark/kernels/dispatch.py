@@ -1,0 +1,194 @@
+"""Content-type detection + dispatch (S2/D1/D2, SURVEY.md §2.1-2.2).
+
+``detect_content_type`` mirrors the reference detector
+(reference utils/file_handlers.py:94-145): extension lookup against the
+7-category taxonomy first, then a content sniff standing in for the
+reference's ``mimetypes.guess_type`` fallback (our input is a binary column,
+not a file path, so the sniff reads magic bytes instead of guessing from the
+path — BASELINE.json input_hint).
+
+IMPORTANT PARITY CONTRACT: every rule here is *also* implemented as a pure
+Spark Column expression in ``functions/sniff.py`` (JVM-side, no Python).
+The two are kept byte-for-byte rule-identical and locked by a parity test
+over the full synthetic corpus (tests/test_dispatch.py). Change both or
+neither.
+
+``extract_payload`` is the 12-way dispatcher + error-containment wrapper
+(reference utils/file_handlers.py:174-259): any kernel exception becomes the
+``[Error extracting text: …]`` literal (reference :257); unknown types the
+``[Unsupported file type: …]`` literal (reference :253).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .charset import decode_utf8_replace, detect_and_decode
+from .csv_kernel import extract_csv
+from .eml_kernel import extract_eml
+from .html_kernel import extract_html
+from .image_kernel import OCR_UNAVAILABLE_LITERAL, extract_image_metadata
+from .pdf_kernel import extract_pdf
+from .rtf_kernel import extract_rtf
+from .xml_kernel import extract_xml
+
+# Reference taxonomy: 7 categories × 29 extensions
+# (reference utils/file_handlers.py:94-105).
+SUPPORTED_FILE_TYPES = {
+    "Documents": ["pdf", "doc", "docx", "rtf", "odt", "txt"],
+    "Images": ["jpg", "jpeg", "png", "tiff", "tif", "bmp", "gif", "webp", "heic", "heif"],
+    "Presentations": ["ppt", "pptx", "odp"],
+    "Spreadsheets": ["xls", "xlsx", "ods", "csv"],
+    "Web": ["html", "htm", "xml"],
+    "Email": ["eml", "msg"],
+    "Ebooks": ["epub"],
+}
+
+# extension -> dispatch branch. html/htm collapse to "html"; all image
+# extensions collapse to "image" (one UDF branch each).
+EXT_TO_TYPE: dict[str, str] = {}
+for _cat, _exts in SUPPORTED_FILE_TYPES.items():
+    for _e in _exts:
+        EXT_TO_TYPE[_e] = _e
+for _e in ("htm",):
+    EXT_TO_TYPE[_e] = "html"
+for _e in ("jpg", "jpeg", "png", "tiff", "tif", "bmp", "gif", "webp", "heic", "heif"):
+    EXT_TO_TYPE[_e] = "image"
+
+# Branches with a real kernel in this build; remaining recognized extensions
+# (office/zip family) are declared-but-stubbed (M8 stretch, SURVEY.md §7.1).
+IMPLEMENTED_TYPES = ("html", "xml", "txt", "pdf", "rtf", "csv", "eml", "image")
+STUBBED_TYPES = ("doc", "docx", "ppt", "pptx", "xls", "xlsx", "ods", "odt", "odp", "epub", "msg")
+
+# url extension capture: last dot-segment of the path, before ?/#.
+# Mirrored in functions/sniff.py as a regexp_extract — keep in sync.
+URL_EXT_PATTERN = r"^[^?#]*/[^/?#]*\.([A-Za-z0-9]{1,5})(?:[?#].*)?$"
+_URL_EXT_RE = re.compile(URL_EXT_PATTERN)
+_LEADING_WS_RE = re.compile(r"^[ \t\r\n\f]+")
+
+
+def url_extension(url: str) -> str | None:
+    m = _URL_EXT_RE.match(url or "")
+    return m.group(1).lower() if m else None
+
+
+def _sniff_magic(payload: bytes) -> str | None:
+    """Byte-level magic sniff. Rule-identical to functions/sniff.py."""
+    if payload.startswith(b"%PDF"):
+        return "pdf"
+    if (
+        payload.startswith(b"\x89PNG\r\n\x1a\n")
+        or payload.startswith(b"GIF87a")
+        or payload.startswith(b"GIF89a")
+        or payload.startswith(b"\xff\xd8\xff")
+        or payload.startswith(b"BM")
+    ):
+        return "image"
+    if payload.startswith(b"{\\rtf"):
+        return "rtf"
+    return None
+
+
+def _sniff_markup(payload: bytes) -> str | None:
+    """Prefix sniff on the first 256 bytes, interpreted as UTF-8 with
+    replacement (same result as Spark's binary→string cast for the ASCII
+    prefixes this rule matches)."""
+    prefix = payload[:256].decode("utf-8", errors="replace")
+    prefix = _LEADING_WS_RE.sub("", prefix).lower()
+    if prefix.startswith("<?xml"):
+        return "xml"
+    if prefix.startswith(("<!doctype html", "<html", "<head", "<body")):
+        return "html"
+    return None
+
+
+def _sniff_text(payload: bytes) -> bool:
+    """True iff the first 256 bytes contain no control byte other than
+    tab/LF/CR — the byte-level plain-text rule (mirrored in sniff.py as a
+    regexp over hex pairs)."""
+    return all(b in (9, 10, 13) or b >= 32 for b in payload[:256])
+
+
+def detect_content_type(url: str, payload: bytes) -> str:
+    """Extension lookup first (reference utils/file_handlers.py:122-124),
+    then content sniff (standing in for the mimetypes fallback, :127-142),
+    default ``"unknown"`` (:145)."""
+    ext = url_extension(url)
+    if ext is not None and ext in EXT_TO_TYPE:
+        return EXT_TO_TYPE[ext]
+    payload = payload or b""
+    t = _sniff_magic(payload)
+    if t:
+        return t
+    t = _sniff_markup(payload)
+    if t:
+        return t
+    if len(payload) > 0 and _sniff_text(payload):
+        return "txt"
+    return "unknown"
+
+
+def extract_payload(
+    url: str,
+    payload: bytes,
+    content_type: str | None = None,
+    use_ocr: bool = False,
+) -> tuple[str, bool, bool, str | None, list[str]]:
+    """The dispatcher (reference utils/file_handlers.py:147-259).
+
+    Returns ``(text, ocr_used, success, error, logs)`` where
+    ``success = no exception AND text.strip() != ""`` (D2+D3 semantics,
+    reference :255-257 and app.py:494-500).
+    """
+    logs: list[str] = []
+    ocr_used = False
+    error: str | None = None
+    if content_type is None:
+        content_type = detect_content_type(url, payload)
+        logs.append(f"Auto-detected file type: {content_type}")
+    file_type = content_type.lower()
+    text = ""
+    try:
+        if file_type == "pdf":
+            text, ocr_used, k_logs = extract_pdf(payload or b"")
+            logs.extend(k_logs)
+        elif file_type == "image":
+            if use_ocr:
+                # OCR stack unavailable in this environment: reference
+                # literal from utils/ocr_utils.py:128; ocr_used set per
+                # reference utils/file_handlers.py:192.
+                text = OCR_UNAVAILABLE_LITERAL
+                ocr_used = True
+                logs.append("Performed OCR on image with language: eng")
+            else:
+                text, k_logs = extract_image_metadata(payload or b"")
+                logs.extend(k_logs)
+        elif file_type == "txt":
+            text = decode_utf8_replace(payload or b"")
+            logs.append("Extracted text from TXT file")  # reference :224
+        elif file_type == "rtf":
+            text, k_logs = extract_rtf(decode_utf8_replace(payload or b""))
+            logs.extend(k_logs)
+        elif file_type == "html":
+            text, k_logs = extract_html(detect_and_decode(payload or b""))
+            logs.extend(k_logs)
+        elif file_type == "xml":
+            text, k_logs = extract_xml(decode_utf8_replace(payload or b""))
+            logs.extend(k_logs)
+        elif file_type == "csv":
+            text, k_logs = extract_csv(decode_utf8_replace(payload or b""))
+            logs.extend(k_logs)
+        elif file_type == "eml":
+            text, k_logs = extract_eml(decode_utf8_replace(payload or b""))
+            logs.extend(k_logs)
+        else:
+            # unknown AND declared-but-stubbed office formats
+            # (reference :250-253)
+            logs.append(f"Unsupported file type: {file_type}")
+            text = f"[Unsupported file type: {file_type}]"
+    except Exception as e:  # D2 containment, reference :255-257
+        logs.append(f"Error extracting text: {e}")
+        text = f"[Error extracting text: {e}]"
+        error = str(e)
+    success = error is None and bool(text.strip())
+    return text, ocr_used, success, error, logs

@@ -1,0 +1,392 @@
+"""PDF extraction kernel (K2, SURVEY.md §2.3) — from scratch, stdlib only.
+
+Scope per SURVEY.md §7.2: uncompressed + Flate-compressed content streams,
+text-show operators (Tj, TJ, ', \"), page order via the /Root → /Pages →
+/Kids tree (document-order /Type /Page scan as fallback), newline heuristics
+on Td/TD/T*/'/\". Everything else degrades to the reference's informative
+bracket literals.
+
+Framing/sentinel literals reproduced from the reference PDF extractor
+(reference utils/file_handlers.py:261-466):
+
+- ``\\n--- Page N ---\\n{text}\\n`` per page with text (reference :303)
+- ``[Page appears to be image-based. Enable OCR to extract text.]`` for a
+  page without text ops, use_ocr=False path (reference :347)
+- ``[PDF has {n} pages but appears to be image-based or scanned. Enable OCR
+  to extract text from scanned documents.]`` when no page had text
+  (reference :460)
+- ``[Could not process this PDF file. It may be corrupted, protected, or in
+  an unsupported format.]`` when the document doesn't parse (reference :462)
+
+OCR fallbacks (reference :306-349, :400-449) are out of scope in this
+environment (no Tesseract): ``ocr_used`` is always False.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+CORRUPT_LITERAL = (
+    "[Could not process this PDF file. It may be corrupted, protected, "
+    "or in an unsupported format.]"
+)
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+
+def _skip_ws(b: bytes, i: int) -> int:
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # '%' comment to EOL
+            while i < n and b[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_obj(b: bytes, i: int):
+    """Parse one PDF object at offset i. Returns (value, next_offset)."""
+    i = _skip_ws(b, i)
+    n = len(b)
+    if i >= n:
+        return None, i
+    c = b[i]
+    if b.startswith(b"<<", i):
+        d = {}
+        i += 2
+        while True:
+            i = _skip_ws(b, i)
+            if b.startswith(b">>", i) or i >= n:
+                return d, min(i + 2, n)
+            key, i = _parse_obj(b, i)
+            val, i = _parse_obj(b, i)
+            if isinstance(key, str):
+                d[key] = val
+    if c == 0x2F:  # /Name
+        j = i + 1
+        while j < n and b[j] not in _WS and b[j] not in _DELIM:
+            j += 1
+        return "/" + b[i + 1 : j].decode("latin-1"), j
+    if c == 0x5B:  # [ array
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(b, i)
+            if i >= n or b[i] == 0x5D:
+                return arr, i + 1
+            v, i = _parse_obj(b, i)
+            arr.append(v)
+    if c == 0x28:  # ( string
+        s, i = _parse_literal_string(b, i)
+        return s, i
+    if c == 0x3C:  # < hex string
+        j = b.find(b">", i + 1)
+        if j < 0:
+            j = n
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", b[i + 1 : j])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii")), j + 1
+    m = re.match(rb"[-+]?\d+(\.\d*)?|[-+]?\.\d+", b[i : i + 32])
+    if m:
+        tok = m.group(0)
+        j = i + len(tok)
+        # reference-style indirect reference: N G R
+        m2 = re.match(rb"\s+(\d+)\s+R\b", b[j : j + 16])
+        if m2 and b"." not in tok:
+            return _Ref(int(tok)), j + m2.end()
+        return (float(tok) if b"." in tok else int(tok)), j
+    m = re.match(rb"true|false|null", b[i : i + 5])
+    if m:
+        val = {b"true": True, b"false": False, b"null": None}[m.group(0)]
+        return val, i + m.end()
+    return None, i + 1  # unknown token: skip a byte
+
+
+def _parse_literal_string(b: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ( ) string with PDF escapes and nested parens."""
+    assert b[i] == 0x28
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(b)
+    while i < n and depth:
+        c = b[i]
+        if c == 0x5C and i + 1 < n:  # backslash
+            e = b[i + 1]
+            if e in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                i += 2
+            elif e in b"()\\":
+                out.append(e)
+                i += 2
+            elif 0x30 <= e <= 0x37:  # octal \ddd
+                j = i + 1
+                oct_digits = b""
+                while j < n and len(oct_digits) < 3 and 0x30 <= b[j] <= 0x37:
+                    oct_digits += bytes([b[j]])
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if e == 0x0D and i < n and b[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                i += 1
+                break
+        out.append(c)
+        i += 1
+    return bytes(out), i
+
+
+def _scan_objects(payload: bytes) -> dict[int, tuple[dict | object, int]]:
+    """Map obj number -> (parsed top value, offset after the value) in
+    document order. xref tables are ignored (robust against corruption)."""
+    objs: dict[int, tuple[object, int]] = {}
+    for m in _OBJ_RE.finditer(payload):
+        num = int(m.group(1))
+        val, end = _parse_obj(payload, m.end())
+        if num not in objs:
+            objs[num] = (val, end)
+    return objs
+
+
+def _resolve(objs, v):
+    seen = 0
+    while isinstance(v, _Ref) and seen < 32:
+        entry = objs.get(v.num)
+        v = entry[0] if entry else None
+        seen += 1
+    return v
+
+
+def _stream_bytes(payload: bytes, objs, num: int) -> bytes | None:
+    entry = objs.get(num)
+    if entry is None:
+        return None
+    d, end = entry
+    if not isinstance(d, dict):
+        return None
+    m = re.compile(rb"stream\r?\n").search(payload, end - 2, end + 32)
+    if not m:
+        m = re.compile(rb"stream\r?\n").search(payload, end - 2)
+        if not m:
+            return None
+    start = m.end()
+    length = _resolve(objs, d.get("/Length"))
+    if isinstance(length, int) and start + length <= len(payload):
+        raw = payload[start : start + length]
+        # trust /Length only if endstream follows
+        tail = payload[start + length : start + length + 20]
+        if b"endstream" not in tail:
+            e = payload.find(b"endstream", start)
+            raw = payload[start:e] if e >= 0 else payload[start:]
+    else:
+        e = payload.find(b"endstream", start)
+        raw = payload[start:e] if e >= 0 else payload[start:]
+        raw = raw.rstrip(b"\r\n")
+    filt = d.get("/Filter")
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    for f in filters:
+        if f == "/FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except Exception:
+                return None
+        elif f is not None:
+            return None  # unsupported filter → treat as no text
+    return raw
+
+
+def _page_order(payload: bytes, objs) -> list[int]:
+    """Page object numbers via /Root→/Pages→/Kids; fallback doc order."""
+    pages: list[int] = []
+
+    def walk(num: int, depth: int):
+        if depth > 64:
+            return
+        entry = objs.get(num)
+        if not entry or not isinstance(entry[0], dict):
+            return
+        d = entry[0]
+        if d.get("/Type") == "/Page":
+            pages.append(num)
+            return
+        kids = _resolve(objs, d.get("/Kids"))
+        if isinstance(kids, list):
+            for k in kids:
+                if isinstance(k, _Ref):
+                    walk(k.num, depth + 1)
+
+    root_num = None
+    m = _ROOT_RE.search(payload)
+    if m:
+        root_num = int(m.group(1))
+    if root_num is not None:
+        cat = objs.get(root_num)
+        if cat and isinstance(cat[0], dict):
+            ptree = cat[0].get("/Pages")
+            if isinstance(ptree, _Ref):
+                walk(ptree.num, 0)
+    if not pages:
+        for num, (val, _end) in objs.items():
+            if isinstance(val, dict) and val.get("/Type") == "/Page":
+                pages.append(num)
+    return pages
+
+
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+
+
+def _content_text(content: bytes) -> str:
+    """Extract shown text from one content stream (stream order; newline on
+    Td/TD/T*/'/\"). String bytes decoded latin-1 (simple-font assumption)."""
+    out: list[str] = []
+    stack: list[object] = []
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c in _WS:
+            i += 1
+            continue
+        if c == 0x25:  # comment
+            j = content.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == 0x28:
+            s, i = _parse_literal_string(content, i)
+            stack.append(s)
+            continue
+        if content.startswith(b"<<", i):
+            v, i = _parse_obj(content, i)
+            stack.append(v)
+            continue
+        if c == 0x3C:
+            v, i = _parse_obj(content, i)
+            stack.append(v)
+            continue
+        if c == 0x5B:
+            v, i = _parse_obj(content, i)
+            stack.append(v)
+            continue
+        if c == 0x2F:
+            v, i = _parse_obj(content, i)
+            stack.append(v)
+            continue
+        m = re.match(rb"[-+]?\d+(\.\d*)?|[-+]?\.\d+", content[i : i + 32])
+        if m:
+            tok = m.group(0)
+            stack.append(float(tok) if b"." in tok else int(tok))
+            i += len(tok)
+            continue
+        m = _OP_RE.match(content, i)
+        if not m:
+            i += 1
+            continue
+        op = m.group(0)
+        i = m.end()
+        if op == b"Tj":
+            if stack and isinstance(stack[-1], bytes):
+                out.append(stack[-1].decode("latin-1"))
+        elif op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                out.append(
+                    "".join(
+                        e.decode("latin-1") for e in stack[-1] if isinstance(e, bytes)
+                    )
+                )
+        elif op == b"'":
+            out.append("\n")
+            if stack and isinstance(stack[-1], bytes):
+                out.append(stack[-1].decode("latin-1"))
+        elif op == b'"':
+            out.append("\n")
+            if stack and isinstance(stack[-1], bytes):
+                out.append(stack[-1].decode("latin-1"))
+        elif op in (b"Td", b"TD", b"T*"):
+            out.append("\n")
+        stack.clear() if op not in (b"BT", b"ET") else None
+    return "".join(out)
+
+
+def extract_pdf(payload: bytes) -> tuple[str, bool, list[str]]:
+    """Returns (text, ocr_used, logs). Never raises. ocr_used is always
+    False (OCR out of scope — see module docstring)."""
+    logs = ["Attempting to extract text using content-stream parser"]
+    try:
+        if not payload.startswith(b"%PDF"):
+            logs.append("No text could be extracted from the PDF")
+            return CORRUPT_LITERAL, False, logs
+        objs = _scan_objects(payload)
+        page_nums = _page_order(payload, objs)
+        total_pages = len(page_nums)
+        logs.append(f"PDF has {total_pages} pages")
+        if total_pages == 0:
+            logs.append("No text could be extracted from the PDF")
+            return CORRUPT_LITERAL, False, logs
+        extracted = []
+        pages_with_text = 0
+        for idx, pnum in enumerate(page_nums, start=1):
+            d = objs[pnum][0]
+            contents = d.get("/Contents")
+            refs = (
+                [c for c in contents if isinstance(c, _Ref)]
+                if isinstance(contents, list)
+                else ([contents] if isinstance(contents, _Ref) else [])
+            )
+            page_text = ""
+            for r in refs:
+                raw = _stream_bytes(payload, objs, r.num)
+                if raw:
+                    page_text += _content_text(raw)
+            if page_text.strip():
+                pages_with_text += 1
+                # reference utils/file_handlers.py:303
+                extracted.append(f"\n--- Page {idx} ---\n{page_text}\n")
+            else:
+                # use_ocr=False path, reference :347
+                extracted.append(
+                    f"\n--- Page {idx} ---\n"
+                    "[Page appears to be image-based. Enable OCR to extract text.]\n"
+                )
+        if pages_with_text > 0:
+            logs.append(
+                f"Successfully extracted text from {pages_with_text}/{total_pages} pages"
+            )
+            return "".join(extracted), False, logs
+        # reference :460
+        logs.append("No text could be extracted from the PDF")
+        return (
+            f"[PDF has {total_pages} pages but appears to be image-based or "
+            "scanned. Enable OCR to extract text from scanned documents.]",
+            False,
+            logs,
+        )
+    except Exception as e:
+        logs.append(f"PDF extraction failed: {e}")
+        logs.append("No text could be extracted from the PDF")
+        return CORRUPT_LITERAL, False, logs

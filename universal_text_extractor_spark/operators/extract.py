@@ -1,0 +1,171 @@
+"""The extraction pipeline: content-type dispatch via filter + union of
+specialized Arrow pandas-UDF branches (D1 → SURVEY.md §2.2; north-star
+architecture).
+
+Dataflow::
+
+    pages ──ct col (JVM sniff)──► repartition(salted xxhash64(url))  [1 shuffle]
+          ├─ filter(ct=html)  ─► html-branch pandas UDF  ─┐
+          ├─ filter(ct=pdf)   ─► pdf-branch pandas UDF   ─┤ unionByName
+          ├─ …                                           ─┤
+          └─ filter(other)    ─► literal branch (no UDF) ─┘
+          ──► extracted rows (text, ocr_used, success, error, logs, extract_us)
+
+Scale design notes:
+- The salted repartition is a single Exchange; every branch filter reads the
+  *same* shuffle output (Spark ReusedExchange dedups identical exchanges),
+  so the 100 TB scan+shuffle happens once, not once per branch
+  (verified in tests/test_pipeline.py::test_single_shuffle_reused).
+- Branch filters are evaluated post-shuffle (cheap, codegen'd); the Python
+  boundary is crossed only by rows of that branch, in Arrow batches.
+- ``spark.sql.execution.arrow.maxRecordsPerBatch`` should be lowered for
+  large html blobs (SURVEY.md §4.3); see plans/pipeline.py defaults.
+- unknown/stubbed branch is pure Column expressions — no Python at all for
+  the junk tail.
+
+The per-row kernel work happens in ``kernels.dispatch.extract_payload`` —
+the same function the pytest oracle calls, so pipeline output is
+byte-identical to the oracle by construction.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.sniff import content_type_col
+from ..kernels.dispatch import IMPLEMENTED_TYPES, extract_payload
+
+DEFAULT_SALT = 0x5EED
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("ocr_used", BooleanType()),
+        StructField("success", BooleanType()),
+        StructField("error", StringType()),
+        StructField("logs", ArrayType(StringType())),
+        StructField("extract_us", LongType()),
+    ]
+)
+
+EXTRACTED_COLUMNS = (
+    "url", "content_type", "partition_id", "input_bytes",
+    "text", "ocr_used", "success", "error", "logs", "extract_us",
+)
+
+
+def _branch_udf(content_type: str):
+    """Specialized Arrow UDF for one dispatch branch. The kernel is invoked
+    per element over an Arrow batch (vectorized transfer; pure-Python kernel
+    work is the unavoidable cost — SURVEY.md §2.3)."""
+
+    @F.pandas_udf(RESULT_SCHEMA)
+    def branch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+        rows = []
+        for u, payload in zip(url, html):
+            t0 = time.perf_counter_ns()
+            text, ocr_used, success, error, logs = extract_payload(
+                u, payload, content_type
+            )
+            rows.append(
+                (text, ocr_used, success, error, logs,
+                 (time.perf_counter_ns() - t0) // 1000)
+            )
+        return pd.DataFrame(
+            rows, columns=["text", "ocr_used", "success", "error", "logs", "extract_us"]
+        )
+
+    return branch
+
+
+def salted_url_partition_key(url: Column, salt: int = DEFAULT_SALT) -> Column:
+    """xxhash64(url, salt) — breaks host-level skew (Zipfian hosts) because
+    the full url + salt is hashed, never the host (north rule; SURVEY.md
+    §7.2 skew note)."""
+    return F.xxhash64(url, F.lit(salt))
+
+
+def extract_pages(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """pages(url, warc_ts, html, …) → extracted DataFrame (EXTRACTED_COLUMNS
+    + extracted_at). One shuffle, reused by every branch."""
+    spark = pages.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    typed = pages.withColumn(
+        "content_type", content_type_col(F.col("url"), F.col("html"))
+    )
+    base = typed.repartition(n_parts, salted_url_partition_key(F.col("url"), salt))
+    base = base.withColumn("partition_id", F.spark_partition_id()).withColumn(
+        "input_bytes", F.coalesce(F.length("html"), F.lit(0)).cast("long")
+    )
+
+    branches = []
+    for ctype in IMPLEMENTED_TYPES:
+        udf = _branch_udf(ctype)
+        b = (
+            base.filter(F.col("content_type") == ctype)
+            .withColumn("res", udf(F.col("url"), F.col("html")))
+            .select("url", "content_type", "partition_id", "input_bytes", "res.*")
+        )
+        branches.append(b)
+
+    # unknown + declared-but-stubbed types: pure Column literal branch — the
+    # junk tail never crosses into Python (reference literal, :253).
+    other = base.filter(~F.col("content_type").isin(*IMPLEMENTED_TYPES)).select(
+        "url",
+        "content_type",
+        "partition_id",
+        "input_bytes",
+        F.concat(F.lit("[Unsupported file type: "), F.col("content_type"), F.lit("]")).alias("text"),
+        F.lit(False).alias("ocr_used"),
+        F.lit(True).alias("success"),
+        F.lit(None).cast("string").alias("error"),
+        F.array(
+            F.concat(F.lit("Unsupported file type: "), F.col("content_type"))
+        ).alias("logs"),
+        F.lit(0).cast("long").alias("extract_us"),
+    )
+    branches.append(other)
+
+    extracted = reduce(DataFrame.unionByName, branches)
+    return extracted.withColumn("extracted_at", F.current_timestamp())
+
+
+def lineage_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage rows (north-star metrics table; replaces the
+    reference's per-document SQLite INSERT, utils/database.py:215-250):
+    partition id, input byte totals/range, doc count, failure count,
+    extraction latency. Aggregated map-side (partial agg) — one tiny shuffle.
+    """
+    return (
+        extracted.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("input_bytes").alias("input_bytes"),
+            F.min("input_bytes").alias("byte_range_start"),
+            F.max("input_bytes").alias("byte_range_end"),
+            F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("failure_count"),
+            F.sum(F.when(F.col("ocr_used"), 1).otherwise(0)).alias("ocr_count"),
+            (F.sum("extract_us") / F.lit(1_000_000.0)).alias("extraction_latency"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("ts", F.current_timestamp())
+    )

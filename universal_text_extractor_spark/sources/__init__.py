@@ -1,0 +1,4 @@
+from .pages_gen import make_page, pages_pandas, generate_pages_df, PAGES_SCHEMA
+from .tables import load_table, load_all
+
+__all__ = ["make_page", "pages_pandas", "generate_pages_df", "PAGES_SCHEMA", "load_table", "load_all"]

@@ -1,0 +1,308 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` table generator.
+
+Schema per BASELINE.json input_hint:
+``url string, warc_ts timestamp, html binary, text string, lang string``.
+
+Design constraints (FIXTURES.md §1):
+- **index-pure**: row *i* is a pure function of ``(i, seed)`` — the table is
+  identical regardless of partitioning/parallelism (required for the
+  resume-equivalence and scaling benches).
+- **Zipfian host skew** (s≈1.2) over a fixed 1000-host universe — the
+  deliberate host-level skew the salted repartition must break.
+- content-class mix per FIXTURES.md: 55% well-formed HTML, 10% malformed
+  HTML, 8% non-UTF-8 HTML, 10% PDF, 7% plain text, 5% XML, 5% binary junk.
+- The PDF payloads come from a from-scratch PDF *writer* that shares no code
+  with the kernel's PDF *parser* (SURVEY.md §7.2).
+
+The ``text`` column is left empty — the oracle text is computed at test time
+by the kernels themselves (tests/test_pipeline.py), per SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+import zlib
+
+_SEED_DEFAULT = 42
+_N_HOSTS = 1000
+_ZIPF_S = 1.2
+_EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
+
+_LANGS = ["en", "fr", "de", "es", "pt", "zh", "ja", "ko", "unknown"]
+
+_WORDS = (
+    "data spark engine page content extract pipeline shuffle partition skew "
+    "lineage batch arrow vector kernel parser document corpus crawl archive "
+    "index token charset layout stream snapshot resume metric latency byte "
+    "throughput cluster executor broadcast salt hash bucket catalyst plan"
+).split()
+
+_BOILER_LINKS = ["Home", "About", "Contact", "Privacy", "Terms", "Login", "Sitemap"]
+
+# Zipf CDF over host ranks, precomputed once (deterministic).
+_zipf_w = [1.0 / (r ** _ZIPF_S) for r in range(1, _N_HOSTS + 1)]
+_zipf_tot = sum(_zipf_w)
+_ZIPF_CDF = []
+_acc = 0.0
+for _w in _zipf_w:
+    _acc += _w / _zipf_tot
+    _ZIPF_CDF.append(_acc)
+
+
+def _zipf_host(rng: random.Random) -> str:
+    u = rng.random()
+    lo, hi = 0, _N_HOSTS - 1
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _ZIPF_CDF[mid] < u:
+            lo = mid + 1
+        else:
+            hi = mid
+    return f"host{lo:04d}.example.com"
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n)).capitalize() + "."
+
+
+def _paragraph(rng: random.Random) -> str:
+    return " ".join(_sentence(rng, rng.randint(5, 14)) for _ in range(rng.randint(2, 6)))
+
+
+def _html_doc(rng: random.Random, malformed: bool) -> bytes:
+    parts = ["<!DOCTYPE html>\n<html>\n<head>\n"]
+    if rng.random() < 0.85:
+        parts.append(f"<title>{_sentence(rng, rng.randint(2, 6))[:-1]}</title>\n")
+    parts.append("<style>body { color: #333; } .nav a { padding: 4px; }</style>\n")
+    parts.append("<script>function f(){ if (1 < 2) { return 'x & y'; } }</script>\n")
+    parts.append("</head>\n<body>\n")
+    nlinks = rng.randint(3, 7)
+    parts.append(
+        "<nav><ul>"
+        + "".join(f'<li><a href="/{w.lower()}">{w}</a></li>' for w in rng.sample(_BOILER_LINKS, nlinks))
+        + "</ul></nav>\n"
+    )
+    parts.append(f"<header><h1>{_sentence(rng, rng.randint(3, 7))[:-1]}</h1></header>\n")
+    parts.append("<main>\n")
+    for _ in range(rng.randint(2, 8)):
+        p = _paragraph(rng)
+        if rng.random() < 0.3:
+            p += " Fish &amp; chips &lt;daily&gt;."
+        if rng.random() < 0.2:
+            p = p.replace(". ", ".  ", 1)  # double-space chunk case
+        parts.append(f"<p>{p}</p>\n")
+    if rng.random() < 0.4:
+        items = "".join(f"<li>{_sentence(rng, rng.randint(2, 5))}</li>" for _ in range(rng.randint(2, 5)))
+        parts.append(f"<ul>{items}</ul>\n")
+    if rng.random() < 0.3:
+        links = " ".join(f'<a href="/p{j}">{rng.choice(_WORDS)}</a>' for j in range(rng.randint(5, 12)))
+        parts.append(f"<div>{links}</div>\n")
+    parts.append("</main>\n")
+    parts.append('<footer><p>Copyright 2025 &copy; example</p><a href="/rss">RSS</a></footer>\n')
+    parts.append("</body>\n</html>\n")
+    doc = "".join(parts)
+    if malformed:
+        mode = rng.randint(0, 2)
+        if mode == 0:
+            doc = doc[: rng.randint(len(doc) // 3, len(doc) - 1)]  # truncate
+        elif mode == 1:
+            doc = doc.replace("</p>", "", 3).replace("</div>", "")  # unclosed
+        else:
+            doc = doc.replace("<p>", "<p><<broken>", 2)  # stray brackets
+    return doc.encode("utf-8")
+
+
+def _html_nonutf8(rng: random.Random) -> bytes:
+    body = (
+        f"<html><head><title>Café {rng.choice(_WORDS)}</title></head>"
+        f"<body><p>Résumé — naïve façade. {_paragraph(rng)}</p>"
+        f"</body></html>"
+    )
+    enc = rng.choice(["windows-1252", "utf-16-le-bom", "latin-1"])
+    if enc == "utf-16-le-bom":
+        return b"\xff\xfe" + body.encode("utf-16-le")
+    return body.encode("windows-1252" if enc == "windows-1252" else "latin-1", errors="replace")
+
+
+# --- from-scratch minimal PDF writer (no code shared with the parser) -------
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _pdf_doc(rng: random.Random) -> bytes:
+    kind = rng.random()
+    if kind < 0.10:  # corrupt / truncated
+        good = _pdf_doc_pages(rng, npages=1, flate=False)
+        return good[: rng.randint(20, max(21, len(good) // 2))]
+    if kind < 0.25:  # image-only pages (no text ops)
+        return _pdf_doc_pages(rng, npages=rng.randint(1, 2), flate=False, empty=True)
+    return _pdf_doc_pages(rng, npages=rng.randint(1, 3), flate=rng.random() < 0.5)
+
+
+def _pdf_doc_pages(rng: random.Random, npages: int, flate: bool, empty: bool = False) -> bytes:
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)  # 1-based object number
+
+    page_obj_nums = []
+    content_nums = []
+    for p in range(npages):
+        if empty:
+            stream = b"q 1 0 0 1 0 0 cm Q"  # graphics only, no BT/Tj
+        else:
+            lines = [_pdf_escape(_sentence(rng, rng.randint(4, 9))) for _ in range(rng.randint(2, 6))]
+            ops = ["BT /F1 12 Tf 72 720 Td"]
+            ops.append(f"({lines[0]}) Tj")
+            for ln in lines[1:]:
+                ops.append(f"0 -14 Td ({ln}) Tj")
+            ops.append("ET")
+            stream = " ".join(ops).encode("latin-1")
+        if flate:
+            comp = zlib.compress(stream)
+            body = (
+                b"<< /Length " + str(len(comp)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+                + comp + b"\nendstream"
+            )
+        else:
+            body = (
+                b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+                + stream + b"\nendstream"
+            )
+        content_nums.append(add(body))
+
+    pages_tree_num = npages + len(content_nums) + 2  # computed below properly
+    # reserve: we add page objects now, then the pages node, then catalog
+    for p in range(npages):
+        page_obj_nums.append(
+            add(
+                b"<< /Type /Page /Parent PAGESREF /MediaBox [0 0 612 792] /Contents "
+                + str(content_nums[p]).encode() + b" 0 R /Resources << /Font << /F1 "
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >>"
+            )
+        )
+    kids = b"[" + b" ".join(str(n).encode() + b" 0 R" for n in page_obj_nums) + b"]"
+    pages_num = add(
+        b"<< /Type /Pages /Kids " + kids + b" /Count " + str(npages).encode() + b" >>"
+    )
+    catalog_num = add(b"<< /Type /Catalog /Pages " + str(pages_num).encode() + b" 0 R >>")
+    # patch parent refs
+    parent = str(pages_num).encode() + b" 0 R"
+    objects = [o.replace(b"PAGESREF", parent) for o in objects]
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 " + str(len(objects) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += ("%010d 00000 n \n" % off).encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objects) + 1).encode()
+        + b" /Root " + str(catalog_num).encode() + b" 0 R >>\nstartxref\n"
+        + str(xref_off).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def _xml_doc(rng: random.Random) -> bytes:
+    valid = rng.random() > 0.2
+    items = "".join(
+        f"<item id='{j}'><name>{rng.choice(_WORDS)}</name><note>{_sentence(rng, 3)}</note></item>"
+        for j in range(rng.randint(2, 6))
+    )
+    doc = f"<?xml version='1.0'?><catalog region='{rng.choice(_WORDS)}'>{items}</catalog>"
+    if not valid:
+        doc = doc.replace("</catalog>", "")  # unclosed root → fallback path
+    return doc.encode("utf-8")
+
+
+def _txt_doc(rng: random.Random) -> bytes:
+    if rng.random() < 0.05:
+        return b""  # empty file → Warning-status path (reference app.py:498-500)
+    return "\n".join(_paragraph(rng) for _ in range(rng.randint(1, 5))).encode("utf-8")
+
+
+def _junk_doc(rng: random.Random) -> bytes:
+    return bytes(rng.getrandbits(8) for _ in range(rng.randint(16, 512)))
+
+
+_CLASSES = [
+    # (cumulative share, class name, extension choices incl. None=no ext)
+    (0.55, "html_ok", ["html", "html", "htm", None]),
+    (0.65, "html_bad", ["html", None]),
+    (0.73, "html_enc", ["html", "htm"]),
+    (0.83, "pdf", ["pdf", "pdf", None]),
+    (0.90, "txt", ["txt", None]),
+    (0.95, "xml", ["xml", None]),
+    (1.00, "junk", [None, "bin", "dat"]),
+]
+
+
+def make_page(i: int, seed: int = _SEED_DEFAULT) -> dict:
+    """Row *i* of the pages table — pure function of (i, seed)."""
+    rng = random.Random(f"{seed}:{i}")
+    u = rng.random()
+    for cum, cls, exts in _CLASSES:
+        if u < cum:
+            break
+    ext = rng.choice(exts)
+    host = _zipf_host(rng)
+    path = f"{cls}/{i:09d}" + (f".{ext}" if ext else "")
+    url = f"https://{host}/{path}"
+    if cls == "html_ok":
+        payload = _html_doc(rng, malformed=False)
+    elif cls == "html_bad":
+        payload = _html_doc(rng, malformed=True)
+    elif cls == "html_enc":
+        payload = _html_nonutf8(rng)
+    elif cls == "pdf":
+        payload = _pdf_doc(rng)
+    elif cls == "txt":
+        payload = _txt_doc(rng)
+    elif cls == "xml":
+        payload = _xml_doc(rng)
+    else:
+        payload = _junk_doc(rng)
+    # ≥8 distinct days (FIXTURES.md): 10-day span, seconds resolution
+    ts = _EPOCH + _dt.timedelta(seconds=(i * 9973 + rng.randint(0, 3600)) % (10 * 86400))
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": payload,
+        "text": "",
+        "lang": rng.choice(_LANGS),
+    }
+
+
+def pages_pandas(n: int, seed: int = _SEED_DEFAULT, start: int = 0):
+    """Small-scale driver-side generation (tests)."""
+    import pandas as pd
+
+    return pd.DataFrame([make_page(i, seed) for i in range(start, start + n)])
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def generate_pages_df(spark, n: int, seed: int = _SEED_DEFAULT, partitions: int | None = None):
+    """Distributed generation: mapInPandas over spark.range — each row is
+    index-pure so any partitioning yields the identical table."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            yield pages_pandas_from_ids(pdf["id"].tolist(), seed)
+
+    def pages_pandas_from_ids(ids, seed_):
+        import pandas as pd
+
+        return pd.DataFrame([make_page(int(i), seed_) for i in ids])
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=PAGES_SCHEMA)
