@@ -1,38 +1,463 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry is a thin lambda over the operator library in
+``universal_text_extractor_spark/operators/`` (SURVEY.md §2 inventory:
+analytics A1-A12, TPC-H-ish joins/windows, dedup, similarity, text stats).
+Each ``oracle_sql()`` entry is the ANSI-SQL twin executed by DuckDB on the
+same parquet; hash-sensitive values use the md5 bridge (identical md5 in
+both engines) or double-promoted folds so results match bit-for-bit.
 """
 
 from __future__ import annotations
 
+import pathlib
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from universal_text_extractor_spark.operators import analytics as A
+from universal_text_extractor_spark.operators import dedup as D
+from universal_text_extractor_spark.operators import similarity as S
+from universal_text_extractor_spark.operators import textstats as T
+from universal_text_extractor_spark.operators import tpch as Q
+from universal_text_extractor_spark.operators.similarity import (
+    EMB_DIM,
+    LSH_PLANES,
+    PLANES,
+)
+from universal_text_extractor_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-(lang, source) corpus profile over documents."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return T.doc_profile(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- analytics surface (A1-A12 over events) ---
+        "a1_total_count": lambda s, d: A.total_count(_t(s, d, "events")),
+        "a2_conditional_counts": lambda s, d: A.conditional_counts(_t(s, d, "events")),
+        "a4_avg_value": lambda s, d: A.avg_value(_t(s, d, "events")),
+        "a5_top_event_types": lambda s, d: A.top_event_types(_t(s, d, "events")),
+        "a6_value_histogram": lambda s, d: A.value_histogram(_t(s, d, "events")),
+        "a7_daily_trend": lambda s, d: A.daily_trend(_t(s, d, "events")),
+        "a8_top_users": lambda s, d: A.top_users(_t(s, d, "events")),
+        "a9_derived_rates": lambda s, d: A.derived_rates(_t(s, d, "events")),
+        "a11_ordered_scan": lambda s, d: A.ordered_scan(_t(s, d, "events")),
+        "a12_per_user_activity": lambda s, d: A.per_user_activity(_t(s, d, "events")),
+        "d6_retention_filter": lambda s, d: A.retention_filter(_t(s, d, "events")),
+        # --- relational breadth (TPC-H-ish) ---
+        "q1_pricing_summary": lambda s, d: Q.q1_pricing_summary(_t(s, d, "lineitem")),
+        "q3_shipping_priority": lambda s, d: Q.q3_shipping_priority(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "q5_local_supplier_volume": lambda s, d: Q.q5_local_supplier_volume(
+            _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "customer"),
+            _t(s, d, "supplier"), _t(s, d, "orders"), _t(s, d, "lineitem"),
+        ),
+        "q6_forecast_revenue": lambda s, d: Q.q6_forecast_revenue(_t(s, d, "lineitem")),
+        "q10_returned_items": lambda s, d: Q.q10_returned_items(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem"),
+            _t(s, d, "nation"),
+        ),
+        "q14_promo_revenue": lambda s, d: Q.q14_promo_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "q18_large_volume_customer": lambda s, d: Q.q18_large_volume_customer(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "w1_top_orders_per_segment": lambda s, d: Q.top_orders_per_segment(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "aj_customers_without_orders": lambda s, d: Q.customers_without_orders(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        # --- text analysis ---
+        "t1_doc_profile": lambda s, d: T.doc_profile(_t(s, d, "documents")),
+        "t2_token_counts": lambda s, d: T.token_counts(_t(s, d, "documents")),
+        "t3_quality_summary": lambda s, d: T.quality_summary(_t(s, d, "documents")),
+        "t4_fingerprints": lambda s, d: T.fingerprints(_t(s, d, "documents")),
+        "t5_language_id": lambda s, d: T.language_id(_t(s, d, "documents")),
+        # --- dedup ---
+        "dd1_exact_dedup_groups": lambda s, d: D.exact_dedup_groups(
+            _t(s, d, "documents")
+        ),
+        "dd2_exact_kept_count": lambda s, d: D.exact_dedup_keep(_t(s, d, "documents")),
+        "dd3_ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
+            _t(s, d, "documents"), threshold=0.2
+        ),
+        "dd4_minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
+            _t(s, d, "documents"), threshold=0.2
+        ),
+        "dd5_simhash_groups": lambda s, d: D.simhash_dedup_groups(
+            _t(s, d, "documents")
+        ),
+        # --- similarity search ---
+        "s1_brute_force_topk": lambda s, d: S.brute_force_topk(
+            _t(s, d, "embeddings")
+        ),
+        "s2_lsh_ann_pairs": lambda s, d: S.lsh_ann_pairs(_t(s, d, "embeddings")),
+        "s3_embedding_near_dup": lambda s, d: S.embedding_near_dup(
+            _t(s, d, "embeddings"), sim_threshold=0.8
+        ),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL. Shared fragments are built programmatically so the md5
+# bridge (hash = ('0x'||substr(md5(x),1,15))::BIGINT), the LSH plane matrix,
+# and the simhash bit ladder stay rule-identical to the Spark operators.
+# ---------------------------------------------------------------------------
+
+_H = "('0x'||substr(md5({x}),1,15))::BIGINT"
+
+
+def _words(texpr: str = "text") -> str:
+    return (
+        f"CASE WHEN trim(lower({texpr})) = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array(trim(lower({texpr})), '\\s+') END"
+    )
+
+
+_SHINGLES = (
+    "CASE WHEN len(ws) < 3 THEN []::VARCHAR[] ELSE list_distinct("
+    "list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))"
+    " END"
+)
+
+_COS = (
+    "round(list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)"
+)
+
+
+def _minhash_sig_sql() -> str:
+    """sig list: 16 md5-seeded minhashes over distinct 3-shingles."""
+    per = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        + _H.format(x=f"'{j}:' || s")
+        + "))"
+        for j in range(D.NUM_MINHASHES)
+    )
+    return (
+        f"WITH w AS (SELECT doc_id, {_words()} AS ws FROM documents), "
+        f"sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w), "
+        f"sig AS (SELECT doc_id, shingles, len(shingles) AS n_sh, [{per}] AS sig "
+        f"FROM sh WHERE len(shingles) > 0)"
+    )
+
+
+def _minhash_lsh_sql(threshold: float) -> str:
+    rows = D.NUM_MINHASHES // D.LSH_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, array_to_string(sig[{bi * rows + 1}:{bi * rows + rows}], ',') AS bucket FROM sig"
+        for bi in range(D.LSH_BANDS)
+    )
+    return (
+        _minhash_sig_sql() + ", "
+        f"bands AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        " FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
+        "j AS (SELECT c.doc_a, c.doc_b, "
+        " len(list_intersect(sa.shingles, sb.shingles)) AS inter, sa.n_sh AS na, sb.n_sh AS nb "
+        " FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b) "
+        "SELECT doc_a, doc_b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard "
+        f"FROM j WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= {threshold}"
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(((hv >> {b}) & 1) * 2 - 1) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents), "
+        f"h AS (SELECT doc_id, {_H.format(x='t')} AS hv FROM tok), "
+        f"fp AS (SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h GROUP BY doc_id) "
+        "SELECT simhash, CAST(COUNT(*) AS BIGINT) AS group_size, MIN(doc_id) AS canonical_doc_id "
+        "FROM fp GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash"
+    )
+
+
+def _lsh_sig_sql(emb: str) -> str:
+    terms = []
+    for j in range(LSH_PLANES):
+        arr = "[" + ",".join(f"{float(v)}" for v in PLANES[j]) + "]"
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+            f"i -> {emb}[i]::DOUBLE * ({arr}::DOUBLE[])[i]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _lang_score(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+    return (
+        f"round(len(list_filter(ws, t -> t IN ({markers})))::DOUBLE"
+        f" / greatest(len(ws), 1), 4)"
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(T.LANG_MARKERS)
+    scores = ", ".join(f"{_lang_score(lang)} AS s_{lang}" for lang in langs)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    chain = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+    )
+    return (
+        f"WITH w AS (SELECT doc_id, lang, {_words()} AS ws FROM documents), "
+        f"sc AS (SELECT doc_id, lang, {scores} FROM w), "
+        f"p AS (SELECT doc_id, lang, {best} AS best, * FROM sc), "
+        f"pred AS (SELECT doc_id, lang, CASE {chain} ELSE 'unknown' END AS predicted FROM p) "
+        "SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS cnt FROM pred "
+        "GROUP BY lang, predicted ORDER BY lang, predicted"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qsum = "sum(l_extendedprice * (1 - l_discount))"
+    return {
+        "a1_total_count": "SELECT CAST(COUNT(*) AS BIGINT) AS total_processed FROM events",
+        "a2_conditional_counts": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS total_processed, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count, "
+            "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count "
+            "FROM events"
+        ),
+        "a4_avg_value": "SELECT round(coalesce(avg(value), 0), 2) AS avg_value FROM events",
+        "a5_top_event_types": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events "
+            "GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 5"
+        ),
+        "a6_value_histogram": (
+            "SELECT CAST(SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS small, "
+            "CAST(SUM(CASE WHEN value >= 1.0 AND value < 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS medium, "
+            "CAST(SUM(CASE WHEN value >= 5.0 AND value < 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS large, "
+            "CAST(SUM(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS very_large "
+            "FROM events"
+        ),
+        "a7_daily_trend": (
+            "SELECT day, cnt FROM (SELECT CAST(ts AS DATE) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1 "
+            "ORDER BY day DESC LIMIT 7) ORDER BY day ASC"
+        ),
+        "a8_top_users": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events "
+            "GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 5"
+        ),
+        "a9_derived_rates": (
+            "WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_processed, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc, "
+            "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ec FROM events) "
+            "SELECT total_processed, "
+            "round(CASE WHEN total_processed > 0 THEN pc * 100.0 / total_processed ELSE 0 END, 1) AS purchase_rate, "
+            "round(CASE WHEN total_processed > 0 THEN ec * 100.0 / total_processed ELSE 0 END, 1) AS error_rate "
+            "FROM c"
+        ),
+        "a11_ordered_scan": (
+            "SELECT * FROM events ORDER BY ts DESC, event_id ASC LIMIT 100"
+        ),
+        "a12_per_user_activity": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "round(SUM(value), 2) AS total_value, MIN(ts) AS first_ts, MAX(ts) AS last_ts, "
+            "CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors "
+            "FROM events GROUP BY user_id"
+        ),
+        "d6_retention_filter": (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS expired_count, MIN(ts) AS oldest_ts "
+            f"FROM events WHERE ts < TIMESTAMP '{A.RETENTION_CUTOFF}'"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            f"round({qsum}, 2) AS sum_disc_price, "
+            "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+            "round(avg(l_quantity), 4) AS avg_qty, "
+            "round(avg(l_extendedprice), 4) AS avg_price, "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "CAST(COUNT(*) AS BIGINT) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q3_shipping_priority": (
+            f"SELECT l_orderkey, o_orderdate, round({qsum}, 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '1998-03-15' "
+            "AND o_orderdate < TIMESTAMP '1998-03-15' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "q5_local_supplier_volume": (
+            f"SELECT n_name, round({qsum}, 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        ),
+        "q10_returned_items": (
+            f"SELECT c_custkey, c_name, n_name, round({qsum}, 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "q14_promo_revenue": (
+            "SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0 "
+            "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'"
+        ),
+        "q18_large_volume_customer": (
+            "WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) "
+            "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+            "round(o_totalprice, 2) AS total_price, round(sum_qty, 2) AS sum_qty "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY total_price DESC, o_orderkey ASC LIMIT 20"
+        ),
+        "w1_top_orders_per_segment": (
+            "SELECT c_mktsegment, rk, o_orderkey, total_price FROM ("
+            "SELECT c_mktsegment, CAST(row_number() OVER "
+            "(PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk, "
+            "o_orderkey, round(o_totalprice, 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rk <= 3"
+        ),
+        "aj_customers_without_orders": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS inactive_customers FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "t1_doc_profile": (
+            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "round(avg(n_chars), 2) AS avg_chars, "
+            "round(avg(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 2) AS avg_tokens, "
+            "MAX(n_chars) AS max_chars "
+            "FROM documents GROUP BY lang, source ORDER BY lang, source"
+        ),
+        "t2_token_counts": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS ws_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_ish_tokens, "
+            "CAST(length(text) AS INT) AS n_chars "
+            "FROM documents"
+        ),
+        "t3_quality_summary": _quality_summary_sql(),
+        "t4_fingerprints": (
+            "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents), "
+            "g AS (SELECT doc_id, list_transform(generate_series(1, greatest(length(nt) - 4, 1)), "
+            "i -> substr(nt, i, 5)) AS grams FROM n) "
+            "SELECT doc_id, list_min(list_transform(grams, x -> "
+            + _H.format(x="x")
+            + ")) AS fingerprint FROM g"
+        ),
+        "t5_language_id": _lang_id_sql(),
+        "dd1_exact_dedup_groups": (
+            "WITH k AS (SELECT doc_id, "
+            + _H.format(x="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+            + " AS text_key FROM documents) "
+            "SELECT text_key, CAST(COUNT(*) AS BIGINT) AS group_size, "
+            "MIN(doc_id) AS canonical_doc_id FROM k GROUP BY text_key "
+            "HAVING COUNT(*) > 1"
+        ),
+        "dd2_exact_kept_count": (
+            "WITH k AS (SELECT doc_id, "
+            + _H.format(x="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+            + " AS text_key FROM documents), "
+            "kept AS (SELECT text_key, MIN(doc_id) FROM k GROUP BY text_key) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS kept_count FROM kept"
+        ),
+        "dd3_ngram_jaccard_pairs": (
+            f"WITH w AS (SELECT doc_id, {_words()} AS ws FROM documents), "
+            f"sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w), "
+            "ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh), "
+            "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, "
+            "CAST(COUNT(*) AS BIGINT) AS inter FROM ex a JOIN ex b "
+            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh) "
+            "SELECT doc_a, doc_b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard "
+            "FROM i WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.2"
+        ),
+        "dd4_minhash_lsh_pairs": _minhash_lsh_sql(0.2),
+        "dd5_simhash_groups": _simhash_sql(16),
+        "s1_brute_force_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings "
+            "WHERE vec_id IN (0, 1, 2, 3, 4)), "
+            "p AS (SELECT q.query_id, e.vec_id, "
+            + _COS.format(dim=EMB_DIM, a="q.q_emb", b="e.embedding")
+            + " AS sim FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) "
+            "SELECT query_id, vec_id, sim, rk FROM ("
+            "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, vec_id ASC) AS INT) AS rk FROM p) WHERE rk <= 10"
+        ),
+        "s2_lsh_ann_pairs": (
+            "WITH sig AS (SELECT vec_id, embedding, "
+            + _lsh_sig_sql("embedding")
+            + " AS sig FROM embeddings) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            + _COS.format(dim=EMB_DIM, a="a.embedding", b="b.embedding")
+            + " AS sim FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id "
+            "WHERE " + _COS.format(dim=EMB_DIM, a="a.embedding", b="b.embedding") + " >= 0.6"
+        ),
+        "s3_embedding_near_dup": (
+            "WITH sig AS (SELECT vec_id, embedding, "
+            + _lsh_sig_sql("embedding")
+            + " AS sig FROM embeddings), "
+            "pairs AS (SELECT "
+            + _COS.format(dim=EMB_DIM, a="a.embedding", b="b.embedding")
+            + " AS sim FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS near_dup_pairs, "
+            "round(coalesce(avg(sim), 0), 6) AS avg_sim FROM pairs WHERE sim >= 0.8"
+        ),
+    }
+
+
+def _quality_summary_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in __import__(
+        "universal_text_extractor_spark.functions.text_funcs", fromlist=["STOPWORDS"]
+    ).STOPWORDS)
+    return (
+        "WITH s AS (SELECT lang, "
+        "length(text) AS n_chars, "
+        f"{_words()} AS ws, "
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha "
+        "FROM documents), "
+        "sc AS (SELECT lang, n_chars, len(ws) AS n_tokens, "
+        "round(alpha::DOUBLE / greatest(n_chars, 1), 4) AS alpha_ratio, "
+        f"round(len(list_filter(ws, t -> t IN ({stop_list})))::DOUBLE / greatest(len(ws), 1), 4) AS stopword_ratio "
+        "FROM s) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "round(avg(n_chars), 2) AS avg_chars, round(avg(n_tokens), 2) AS avg_tokens, "
+        "round(avg(alpha_ratio), 4) AS avg_alpha_ratio, "
+        "round(avg(stopword_ratio), 4) AS avg_stopword_ratio "
+        "FROM sc GROUP BY lang ORDER BY lang"
+    )

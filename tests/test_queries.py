@@ -1,0 +1,82 @@
+"""Driver-harness mirror (SURVEY.md §5 item 4): run every ``queries()``
+entry on Spark and its ``oracle_sql()`` twin on DuckDB over the same
+parquet, compare row-count + schema-width + order-insensitive values.
+This is a local pre-flight of CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("UTES_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # collapse -0.0 and fp noise at display precision
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES), ids=sorted(QUERIES))
+def test_query_vs_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    if name not in ORACLES:
+        pytest.skip(f"{name}: rows-only check (no oracle)")
+    res = duck.execute(ORACLES[name])
+    drows = res.fetchall()
+    dcols = [d[0] for d in res.description]
+    assert sorted(scols) == sorted(dcols), f"column names differ: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"row counts differ: {len(srows)} vs {len(drows)}"
+    sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
+    diffs = [(a, b) for a, b in zip(sset, dset) if a != b]
+    assert not diffs, f"{len(diffs)} differing rows; first 3: {diffs[:3]}"
+
+
+def test_every_query_has_oracle_or_reason():
+    missing = set(QUERIES) - set(ORACLES)
+    # every operator currently claims SQL-expressibility — keep it that way
+    assert not missing, f"queries without oracle: {missing}"
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["lang", "source", "n_docs", "avg_chars", "avg_tokens", "max_chars"]

@@ -1,0 +1,81 @@
+"""Resume-equivalence property (SURVEY.md §5 item 5): kill after partial
+commit, resume, final table equals an uninterrupted single run. Plus
+retention-delete and export-sink checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from universal_text_extractor_spark.plans.pipeline import (
+    read_extracted,
+    retention_cleanup,
+    run_extraction,
+)
+from universal_text_extractor_spark.sources.pages_gen import generate_pages_df
+
+N = 400
+
+
+def _table(spark, out_dir):
+    return {
+        r["url"]: (r["content_type"], r["text"], r["success"])
+        for r in read_extracted(spark, out_dir).collect()
+    }
+
+
+def test_kill_and_resume_equals_single_run(spark, tmp_path):
+    pages = generate_pages_df(spark, N, partitions=4)
+
+    single = str(tmp_path / "single")
+    r1 = run_extraction(spark, pages, single, n_buckets=6, num_partitions=4)
+    assert r1.rows_written == N
+    assert not r1.skipped_buckets
+
+    crashy = str(tmp_path / "crashy")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(
+            spark, pages, crashy, n_buckets=6, num_partitions=4, fail_after_buckets=2
+        )
+    # resume
+    r2 = run_extraction(spark, pages, crashy, n_buckets=6, num_partitions=4)
+    assert len(r2.skipped_buckets) == 2  # the committed-before-crash buckets
+    assert _table(spark, crashy) == _table(spark, single)
+
+
+def test_completed_run_is_noop(spark, tmp_path):
+    pages = generate_pages_df(spark, 100, partitions=2)
+    out = str(tmp_path / "done")
+    run_extraction(spark, pages, out, n_buckets=3, num_partitions=2)
+    again = run_extraction(spark, pages, out, n_buckets=3, num_partitions=2)
+    assert again.rows_written == 0
+    assert len(again.skipped_buckets) == 3
+
+
+def test_metrics_and_retention(spark, tmp_path):
+    pages = generate_pages_df(spark, 200, partitions=2)
+    out = str(tmp_path / "ret")
+    run_extraction(spark, pages, out, n_buckets=2, num_partitions=2)
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert metrics.agg({"doc_count": "sum"}).collect()[0][0] == 200
+    # nothing older than a past cutoff → delete 0; future cutoff → delete all
+    assert retention_cleanup(spark, out, "2000-01-01 00:00:00") == 0
+    n = spark.read.parquet(f"{out}/metrics").count()
+    assert retention_cleanup(spark, out, "2100-01-01 00:00:00") == n
+
+
+def test_export_sinks(spark, tmp_path):
+    from universal_text_extractor_spark.operators.extract import extract_pages
+    from universal_text_extractor_spark.sources.sinks import (
+        export_csv_lines,
+        export_json,
+        export_txt,
+    )
+
+    ext = extract_pages(generate_pages_df(spark, 50, partitions=2), num_partitions=2)
+    export_txt(ext, str(tmp_path / "txt"))
+    export_json(ext, str(tmp_path / "json"))
+    export_csv_lines(ext.limit(5), str(tmp_path / "csv"))
+    assert spark.read.text(str(tmp_path / "txt")).count() > 0
+    j = spark.read.json(str(tmp_path / "json"))
+    assert {"extracted_text", "extraction_timestamp", "lines"} <= set(j.columns)
+    assert j.count() == 50

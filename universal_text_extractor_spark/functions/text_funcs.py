@@ -80,10 +80,12 @@ def minhash_sig_col(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature as array<long>, cross-engine reproducible: hash_j =
     min over shingles of int(md5(j ':' shingle)[:15], 16). md5 is identical
     in Spark and DuckDB, so the oracle can recompute signatures exactly."""
-    sigs = []
-    for j in range(num_hashes):
-        h = lambda s, j=j: F.conv(
+    def _seeded(j: int):  # factory — a default-arg lambda would make pyspark
+        # pass the element index as the second lambda variable
+        return lambda s: F.conv(
             F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, 15), 16, 10
         ).cast("long")
-        sigs.append(F.array_min(F.transform(shingles, h)))
-    return F.array(*sigs)
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, _seeded(j))) for j in range(num_hashes)]
+    )

@@ -1,0 +1,125 @@
+"""Text-analysis operators over ``documents``: language-ID, quality scores,
+token counts, fingerprinting (task brief: first-class alongside SURVEY §2).
+
+Everything is JVM Column expressions — no Python UDFs in any of these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import quality_score_cols, token_count_col, words_col
+from .dedup import md5_long
+
+# tiny per-language function-word lists for the n-gram/stopword heuristic
+# language-ID (deterministic; mirrored verbatim in the oracle SQL)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
+    "fr": ("le", "la", "les", "et", "de", "des", "un", "une", "est", "que"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "es": ("el", "la", "los", "las", "y", "de", "que", "es", "un", "una"),
+    "pt": ("o", "a", "os", "as", "e", "de", "que", "um", "uma", "não"),
+}
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    """Share of tokens that are function words of ``lang`` (4 dp)."""
+    toks = words_col(text)
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax over language scores; ties broken by language-code order;
+    'unknown' when no marker hits at all."""
+    scores = [(lang, lang_score_col(text, lang)) for lang in sorted(LANG_MARKERS)]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("unknown")
+    # build reverse WHEN chain so the FIRST lang in sorted order wins ties
+    for lang, s in reversed(scores):
+        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Predicted language per doc + agreement with the ground-truth lang
+    column, aggregated per (lang, predicted)."""
+    pred = documents.select(
+        "doc_id", "lang", lang_id_col(F.col("text")).alias("predicted")
+    )
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Per-document quality heuristics (length/punct/stopword ratios)."""
+    cols = quality_score_cols(F.col("text"))
+    return documents.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+def quality_summary(documents: DataFrame) -> DataFrame:
+    """Corpus-level quality profile per (lang, source)."""
+    cols = quality_score_cols(F.col("text"))
+    scored = documents.select("lang", "source", *[c.alias(k) for k, c in cols.items()])
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace + word-regex token counts per doc (BPE-ish proxy: words,
+    numbers, and punctuation runs counted separately)."""
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    )
+    return documents.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("ws_tokens"),
+        bpe_ish.alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def fingerprints(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: min md5-hash over character
+    k-grams of the normalized text (rolling-hash family; md5 bridge keeps
+    the DuckDB oracle exact)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    fp = F.array_min(F.transform(grams, lambda g: md5_long(g)))
+    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+def doc_profile(documents: DataFrame) -> DataFrame:
+    """Flagship rollup: per (lang, source) doc counts + char/token stats."""
+    return (
+        documents.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(token_count_col(F.col("text"))), 2).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
