@@ -70,6 +70,14 @@ def _paragraph(rng: random.Random) -> str:
     return " ".join(_sentence(rng, rng.randint(5, 14)) for _ in range(rng.randint(2, 6)))
 
 
+def _n_paragraphs(rng: random.Random) -> int:
+    """Heavy-tailed paragraph count (FIXTURES.md size heavy-tail): Pareto
+    body sizes give a ~15-20 KB mean page with a 100 KB+ tail — realistic
+    Common-Crawl page weight, and enough per-doc kernel work that the
+    throughput bench measures extraction, not scheduling."""
+    return min(600, 8 + int(rng.paretovariate(1.25) * 16))
+
+
 def _html_doc(rng: random.Random, malformed: bool) -> bytes:
     parts = ["<!DOCTYPE html>\n<html>\n<head>\n"]
     if rng.random() < 0.85:
@@ -85,19 +93,25 @@ def _html_doc(rng: random.Random, malformed: bool) -> bytes:
     )
     parts.append(f"<header><h1>{_sentence(rng, rng.randint(3, 7))[:-1]}</h1></header>\n")
     parts.append("<main>\n")
-    for _ in range(rng.randint(2, 8)):
+    for pi in range(_n_paragraphs(rng)):
         p = _paragraph(rng)
         if rng.random() < 0.3:
             p += " Fish &amp; chips &lt;daily&gt;."
         if rng.random() < 0.2:
             p = p.replace(". ", ".  ", 1)  # double-space chunk case
         parts.append(f"<p>{p}</p>\n")
-    if rng.random() < 0.4:
-        items = "".join(f"<li>{_sentence(rng, rng.randint(2, 5))}</li>" for _ in range(rng.randint(2, 5)))
-        parts.append(f"<ul>{items}</ul>\n")
-    if rng.random() < 0.3:
-        links = " ".join(f'<a href="/p{j}">{rng.choice(_WORDS)}</a>' for j in range(rng.randint(5, 12)))
-        parts.append(f"<div>{links}</div>\n")
+        if rng.random() < 0.12:
+            items = "".join(
+                f"<li>{_sentence(rng, rng.randint(2, 5))}</li>"
+                for _ in range(rng.randint(2, 5))
+            )
+            parts.append(f"<ul>{items}</ul>\n")
+        if rng.random() < 0.08:
+            links = " ".join(
+                f'<a href="/p{j}">{rng.choice(_WORDS)}</a>'
+                for j in range(rng.randint(5, 12))
+            )
+            parts.append(f"<div>{links}</div>\n")
     parts.append("</main>\n")
     parts.append('<footer><p>Copyright 2025 &copy; example</p><a href="/rss">RSS</a></footer>\n')
     parts.append("</body>\n</html>\n")
@@ -138,7 +152,7 @@ def _pdf_doc(rng: random.Random) -> bytes:
         return good[: rng.randint(20, max(21, len(good) // 2))]
     if kind < 0.25:  # image-only pages (no text ops)
         return _pdf_doc_pages(rng, npages=rng.randint(1, 2), flate=False, empty=True)
-    return _pdf_doc_pages(rng, npages=rng.randint(1, 3), flate=rng.random() < 0.5)
+    return _pdf_doc_pages(rng, npages=rng.randint(1, 8), flate=rng.random() < 0.5)
 
 
 def _pdf_doc_pages(rng: random.Random, npages: int, flate: bool, empty: bool = False) -> bytes:
@@ -154,7 +168,7 @@ def _pdf_doc_pages(rng: random.Random, npages: int, flate: bool, empty: bool = F
         if empty:
             stream = b"q 1 0 0 1 0 0 cm Q"  # graphics only, no BT/Tj
         else:
-            lines = [_pdf_escape(_sentence(rng, rng.randint(4, 9))) for _ in range(rng.randint(2, 6))]
+            lines = [_pdf_escape(_sentence(rng, rng.randint(4, 9))) for _ in range(rng.randint(8, 40))]
             ops = ["BT /F1 12 Tf 72 720 Td"]
             ops.append(f"({lines[0]}) Tj")
             for ln in lines[1:]:
@@ -215,7 +229,7 @@ def _xml_doc(rng: random.Random) -> bytes:
     valid = rng.random() > 0.2
     items = "".join(
         f"<item id='{j}'><name>{rng.choice(_WORDS)}</name><note>{_sentence(rng, 3)}</note></item>"
-        for j in range(rng.randint(2, 6))
+        for j in range(rng.randint(4, 40))
     )
     doc = f"<?xml version='1.0'?><catalog region='{rng.choice(_WORDS)}'>{items}</catalog>"
     if not valid:
@@ -226,7 +240,9 @@ def _xml_doc(rng: random.Random) -> bytes:
 def _txt_doc(rng: random.Random) -> bytes:
     if rng.random() < 0.05:
         return b""  # empty file → Warning-status path (reference app.py:498-500)
-    return "\n".join(_paragraph(rng) for _ in range(rng.randint(1, 5))).encode("utf-8")
+    return "\n".join(
+        _paragraph(rng) for _ in range(_n_paragraphs(rng) // 2 + 1)
+    ).encode("utf-8")
 
 
 def _junk_doc(rng: random.Random) -> bytes:
