@@ -142,18 +142,20 @@ _COS = (
 
 
 def _minhash_sig_sql() -> str:
-    """sig list: 16 md5-seeded minhashes over distinct 3-shingles."""
+    """sig list: md5 per shingle, then 16 XOR-permutation minhashes
+    (mirrors dedup.XOR_SEEDS exactly)."""
     per = ", ".join(
-        "list_min(list_transform(shingles, s -> "
-        + _H.format(x=f"'{j}:' || s")
-        + "))"
-        for j in range(D.NUM_MINHASHES)
+        f"list_min(list_transform(shash, h -> xor(h, {seed}::BIGINT)))"
+        for seed in D.XOR_SEEDS
     )
     return (
         f"WITH w AS (SELECT doc_id, {_words()} AS ws FROM documents), "
         f"sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w), "
+        "hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> "
+        + _H.format(x="s")
+        + ") AS shash FROM sh), "
         f"sig AS (SELECT doc_id, shingles, len(shingles) AS n_sh, [{per}] AS sig "
-        f"FROM sh WHERE len(shingles) > 0)"
+        f"FROM hs WHERE len(shingles) > 0)"
     )
 
 
@@ -374,7 +376,8 @@ def oracle_sql() -> dict[str, str]:
         "t3_quality_summary": _quality_summary_sql(),
         "t4_fingerprints": (
             "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents), "
-            "g AS (SELECT doc_id, list_transform(generate_series(1, greatest(length(nt) - 4, 1)), "
+            "g AS (SELECT doc_id, list_transform(generate_series(1, greatest(length(nt) - 4, 1), "
+            f"{T.FINGERPRINT_STRIDE}), "
             "i -> substr(nt, i, 5)) AS grams FROM n) "
             "SELECT doc_id, list_min(list_transform(grams, x -> "
             + _H.format(x="x")

@@ -151,7 +151,97 @@ def fixtures() -> list[tuple[str, str, bytes]]:
 
     docs.append(("junk_binary", "https://hc.example.com/m/blob",
                  bytes(rng.getrandbits(8) for _ in range(128))))
-    docs.append(("stubbed_docx", "https://hc.example.com/m/word.docx", b"PK\x03\x04fakezip"))
+    docs.append(("corrupt_docx", "https://hc.example.com/m/word.docx", b"PK\x03\x04fakezip"))
+
+    # --- office zip-family fixtures (handcrafted writers, independent of the
+    # kernels' parsers) ---
+    import io
+    import zipfile
+
+    def _zip(entries: dict[str, str]) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for name, content in entries.items():
+                z.writestr(name, content)
+        return buf.getvalue()
+
+    W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+    docx = _zip({
+        "word/document.xml": f"""<w:document {W}><w:body>
+            <w:p><w:r><w:t>First paragraph of the report.</w:t></w:r></w:p>
+            <w:p><w:r><w:t>Second </w:t></w:r><w:r><w:t>paragraph.</w:t></w:r>
+               <w:r><w:drawing/></w:r></w:p>
+            <w:tbl>
+              <w:tr><w:tc><w:p><w:r><w:t>Name</w:t></w:r></w:p></w:tc>
+                    <w:tc><w:p><w:r><w:t>Qty</w:t></w:r></w:p></w:tc></w:tr>
+              <w:tr><w:tc><w:p><w:r><w:t>Widget</w:t></w:r></w:p></w:tc>
+                    <w:tc><w:p><w:r><w:t>3</w:t></w:r></w:p></w:tc></w:tr>
+            </w:tbl></w:body></w:document>""",
+        "word/header1.xml": f"<w:hdr {W}><w:p><w:r><w:t>Confidential</w:t></w:r></w:p></w:hdr>",
+        "word/footer1.xml": f"<w:ftr {W}><w:p><w:r><w:t>Page footer text</w:t></w:r></w:p></w:ftr>",
+    })
+    docs.append(("docx_basic", "https://hd.example.com/n/report.docx", docx))
+
+    P = ('xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+         'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"')
+    slide1 = f"""<p:sld {P}><p:cSld><p:spTree>
+        <p:sp><p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr>
+          <p:txBody><a:p><a:r><a:t>Quarterly Review</a:t></a:r></a:p></p:txBody></p:sp>
+        <p:sp><p:txBody><a:p><a:r><a:t>Revenue grew nicely.</a:t></a:r></a:p></p:txBody></p:sp>
+        <p:pic/>
+      </p:spTree></p:cSld></p:sld>"""
+    slide2 = f"""<p:sld {P}><p:cSld><p:spTree>
+        <p:graphicFrame><a:tbl>
+          <a:tr><a:tc><a:txBody><a:p><a:r><a:t>Region</a:t></a:r></a:p></a:txBody></a:tc>
+                <a:tc><a:txBody><a:p><a:r><a:t>Total</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+          <a:tr><a:tc><a:txBody><a:p><a:r><a:t>West</a:t></a:r></a:p></a:txBody></a:tc>
+                <a:tc><a:txBody><a:p><a:r><a:t>42</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+        </a:tbl></p:graphicFrame>
+      </p:spTree></p:cSld></p:sld>"""
+    slide3 = f"<p:sld {P}><p:cSld><p:spTree/></p:cSld></p:sld>"
+    docs.append(("pptx_basic", "https://hd.example.com/n/deck.pptx", _zip({
+        "ppt/slides/slide1.xml": slide1,
+        "ppt/slides/slide2.xml": slide2,
+        "ppt/slides/slide3.xml": slide3,
+    })))
+
+    X = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    docs.append(("xlsx_basic", "https://hd.example.com/n/data.xlsx", _zip({
+        "xl/workbook.xml": f'<workbook {X}><sheets><sheet name="Totals" sheetId="1"/></sheets></workbook>',
+        "xl/sharedStrings.xml": f'<sst {X}><si><t>city</t></si><si><t>Paris</t></si></sst>',
+        "xl/worksheets/sheet1.xml": f"""<worksheet {X}><sheetData>
+           <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>2024</v></c></row>
+           <row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>17.5</v></c></row>
+         </sheetData></worksheet>""",
+    })))
+
+    T = 'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+    docs.append(("odt_basic", "https://hd.example.com/n/letter.odt", _zip({
+        "content.xml": f"""<office:document-content {T}
+             xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0">
+           <office:body><office:text>
+             <text:h text:outline-level="1">Introduction</text:h>
+             <text:p>Dear reader, this is an ODT paragraph.</text:p>
+             <text:p>Second paragraph here.</text:p>
+           </office:text></office:body></office:document-content>""",
+    })))
+
+    docs.append(("epub_basic", "https://hd.example.com/n/book.epub", _zip({
+        "META-INF/container.xml": """<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+           <rootfiles><rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/></rootfiles></container>""",
+        "OEBPS/content.opf": """<package xmlns="http://www.idpf.org/2007/opf"
+             xmlns:dc="http://purl.org/dc/elements/1.1/">
+           <metadata><dc:title>Sample Book</dc:title><dc:creator>Jane Doe</dc:creator></metadata>
+           <manifest><item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>
+                     <item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/></manifest>
+           <spine><itemref idref="c1"/><itemref idref="c2"/></spine></package>""",
+        "OEBPS/ch1.xhtml": "<html><head><style>p{}</style></head><body><h1>Chapter One</h1><p>It began quietly.</p></body></html>",
+        "OEBPS/ch2.xhtml": "<html><body><h1>Chapter Two</h1><p>It ended loudly.</p></body></html>",
+    })))
+    docs.append(("doc_legacy", "https://hd.example.com/n/old.doc", b"\xd0\xcf\x11\xe0old-ole-doc"))
+    docs.append(("ppt_legacy", "https://hd.example.com/n/old.ppt", b"\xd0\xcf\x11\xe0old-ole-ppt"))
+    docs.append(("xls_legacy", "https://hd.example.com/n/old.xls", b"\xd0\xcf\x11\xe0old-ole-xls"))
+    docs.append(("msg_stub", "https://hd.example.com/n/mail.msg", b"\xd0\xcf\x11\xe0old-ole-msg"))
     return docs
 
 

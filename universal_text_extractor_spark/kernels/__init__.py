@@ -14,6 +14,14 @@ from .rtf_kernel import extract_rtf
 from .csv_kernel import extract_csv
 from .eml_kernel import extract_eml
 from .image_kernel import extract_image_metadata
+from .office_kernel import (
+    extract_docx,
+    extract_epub,
+    extract_ods,
+    extract_odf,
+    extract_pptx,
+    extract_xlsx,
+)
 
 __all__ = [
     "decode_utf8_replace",
@@ -29,4 +37,10 @@ __all__ = [
     "extract_csv",
     "extract_eml",
     "extract_image_metadata",
+    "extract_docx",
+    "extract_epub",
+    "extract_ods",
+    "extract_odf",
+    "extract_pptx",
+    "extract_xlsx",
 ]

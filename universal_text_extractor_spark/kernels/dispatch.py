@@ -28,6 +28,18 @@ from .csv_kernel import extract_csv
 from .eml_kernel import extract_eml
 from .html_kernel import extract_html
 from .image_kernel import OCR_UNAVAILABLE_LITERAL, extract_image_metadata
+from .office_kernel import (
+    DOC_LEGACY_LITERAL,
+    MSG_LITERAL,
+    PPT_LEGACY_LITERAL,
+    XLS_LEGACY_LITERAL,
+    extract_docx,
+    extract_epub,
+    extract_ods,
+    extract_odf,
+    extract_pptx,
+    extract_xlsx,
+)
 from .pdf_kernel import extract_pdf
 from .rtf_kernel import extract_rtf
 from .xml_kernel import extract_xml
@@ -55,10 +67,28 @@ for _e in ("htm",):
 for _e in ("jpg", "jpeg", "png", "tiff", "tif", "bmp", "gif", "webp", "heic", "heif"):
     EXT_TO_TYPE[_e] = "image"
 
-# Branches with a real kernel in this build; remaining recognized extensions
-# (office/zip family) are declared-but-stubbed (M8 stretch, SURVEY.md §7.1).
-IMPLEMENTED_TYPES = ("html", "xml", "txt", "pdf", "rtf", "csv", "eml", "image")
-STUBBED_TYPES = ("doc", "docx", "ppt", "pptx", "xls", "xlsx", "ods", "odt", "odp", "epub", "msg")
+# Types with a real kernel; legacy binary formats (doc/ppt/xls/msg) emit the
+# reference's informative literals (reference :601, :769, :872, :1257).
+IMPLEMENTED_TYPES = (
+    "html", "xml", "txt", "pdf", "rtf", "csv", "eml", "image",
+    "docx", "pptx", "xlsx", "ods", "odt", "odp", "epub",
+    "doc", "ppt", "xls", "msg",
+)
+
+# Dispatch-branch grouping for the Spark filter+union fan-out: one Arrow UDF
+# branch per *family* (share-weighted: html dominates, pdf next, the rest
+# are tails) — fewer union stages at identical semantics, since the UDF
+# receives the content_type column and routes within the family.
+BRANCH_FAMILIES: dict[str, tuple[str, ...]] = {
+    "html": ("html",),
+    "pdf": ("pdf",),
+    "text": ("txt", "csv", "rtf", "eml", "xml"),
+    "office": (
+        "docx", "pptx", "xlsx", "ods", "odt", "odp", "epub",
+        "doc", "ppt", "xls", "msg",
+    ),
+    "image": ("image",),
+}
 
 # url extension capture: last dot-segment of the path, before ?/#.
 # Mirrored in functions/sniff.py as a regexp_extract — keep in sync.
@@ -181,6 +211,40 @@ def extract_payload(
         elif file_type == "eml":
             text, k_logs = extract_eml(decode_utf8_replace(payload or b""))
             logs.extend(k_logs)
+        elif file_type == "docx":
+            text, k_logs = extract_docx(payload or b"")
+            logs.extend(k_logs)
+        elif file_type == "pptx":
+            text, k_logs = extract_pptx(payload or b"")
+            logs.extend(k_logs)
+        elif file_type == "xlsx":
+            text, k_logs = extract_xlsx(payload or b"")
+            logs.extend(k_logs)
+        elif file_type == "ods":
+            text, k_logs = extract_ods(payload or b"")
+            logs.extend(k_logs)
+        elif file_type in ("odt", "odp"):
+            text, k_logs = extract_odf(payload or b"")
+            logs.extend(k_logs)
+        elif file_type == "epub":
+            text, k_logs = extract_epub(payload or b"")
+            logs.extend(k_logs)
+        elif file_type == "doc":
+            # reference utils/file_handlers.py:601
+            text = DOC_LEGACY_LITERAL
+            logs.append("Legacy DOC format detected, limited extraction support")
+        elif file_type == "ppt":
+            # reference utils/file_handlers.py:769
+            text = PPT_LEGACY_LITERAL
+            logs.append("Legacy PPT format detected, limited extraction support")
+        elif file_type == "xls":
+            # reference utils/file_handlers.py:870-872
+            text = XLS_LEGACY_LITERAL
+            logs.append("All spreadsheet extraction methods failed")
+        elif file_type == "msg":
+            # reference utils/file_handlers.py:1255-1257 (OLE parse stubbed)
+            text = MSG_LITERAL
+            logs.append("extract_msg library not available")
         else:
             # unknown AND declared-but-stubbed office formats
             # (reference :250-253)

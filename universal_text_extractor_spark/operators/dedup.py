@@ -29,6 +29,20 @@ NUM_MINHASHES = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
 SHINGLE_K = 3
 
+# XOR-permutation constants for the MinHash family: h_j = md5_long(s) XOR
+# XOR_SEEDS[j]. One md5 per shingle instead of NUM_MINHASHES md5s (16×
+# cheaper at 100 TB); XOR-by-constant is a weaker permutation family than
+# independent hashes, which only lowers LSH candidate recall slightly — and
+# every candidate is verified with true Jaccard afterwards. Constants are
+# 60-bit, derived deterministically from md5(j) at import (mirrored
+# literally in the oracle SQL).
+import hashlib as _hashlib
+
+XOR_SEEDS = [
+    int(_hashlib.md5(f"seed:{j}".encode()).hexdigest()[:15], 16)
+    for j in range(NUM_MINHASHES)
+]
+
 
 def md5_long(col: Column, prefix: str = "") -> Column:
     """First 15 hex chars of md5 as a BIGINT — bit-identical to DuckDB's
@@ -104,20 +118,24 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, sig array<long>[NUM_MINHASHES]) — md5-seeded MinHash,
     reproducible in the DuckDB oracle."""
     sh = _shingled(documents).filter(F.col("n_shingles") > 0)
+    hashed = sh.withColumn(
+        "shash", F.transform(F.col("shingles"), lambda s: md5_long(s))
+    )
 
     # NB: factory, not a default-arg lambda — pyspark derives the number of
     # higher-order lambda variables from the function arity, so a `j=j`
     # default would silently receive the element *index* column.
-    def _seeded(j: int):
-        return lambda s: md5_long(s, prefix=f"{j}:")
+    def _perm(j: int):
+        seed = XOR_SEEDS[j]
+        return lambda h: h.bitwiseXOR(F.lit(seed))
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("shingles"), _seeded(j)))
+            F.array_min(F.transform(F.col("shash"), _perm(j)))
             for j in range(NUM_MINHASHES)
         ]
     )
-    return sh.select("doc_id", sig.alias("sig"))
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:

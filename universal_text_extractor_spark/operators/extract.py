@@ -46,7 +46,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.sniff import content_type_col
-from ..kernels.dispatch import IMPLEMENTED_TYPES, extract_payload
+from ..kernels.dispatch import BRANCH_FAMILIES, extract_payload
 
 DEFAULT_SALT = 0x5EED
 
@@ -67,19 +67,19 @@ EXTRACTED_COLUMNS = (
 )
 
 
-def _branch_udf(content_type: str):
-    """Specialized Arrow UDF for one dispatch branch. The kernel is invoked
-    per element over an Arrow batch (vectorized transfer; pure-Python kernel
-    work is the unavoidable cost — SURVEY.md §2.3)."""
+def _branch_udf(family: str):
+    """Specialized Arrow UDF for one dispatch-branch family (html / pdf /
+    text / office / image). The kernel is invoked per element over an Arrow
+    batch (vectorized transfer; pure-Python kernel work is the unavoidable
+    cost — SURVEY.md §2.3); within a family the content_type column routes
+    to the exact kernel."""
 
     @F.pandas_udf(RESULT_SCHEMA)
-    def branch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    def branch(url: pd.Series, html: pd.Series, ctype: pd.Series) -> pd.DataFrame:
         rows = []
-        for u, payload in zip(url, html):
+        for u, payload, ct in zip(url, html, ctype):
             t0 = time.perf_counter_ns()
-            text, ocr_used, success, error, logs = extract_payload(
-                u, payload, content_type
-            )
+            text, ocr_used, success, error, logs = extract_payload(u, payload, ct)
             rows.append(
                 (text, ocr_used, success, error, logs,
                  (time.perf_counter_ns() - t0) // 1000)
@@ -129,19 +129,27 @@ def extract_pages(
         "input_bytes", F.coalesce(F.length("html"), F.lit(0)).cast("long")
     )
 
+    all_typed = [t for types in BRANCH_FAMILIES.values() for t in types]
     branches = []
-    for ctype in IMPLEMENTED_TYPES:
-        udf = _branch_udf(ctype)
+    for family, types in BRANCH_FAMILIES.items():
+        udf = _branch_udf(family)
+        pred = (
+            F.col("content_type") == types[0]
+            if len(types) == 1
+            else F.col("content_type").isin(*types)
+        )
         b = (
-            base.filter(F.col("content_type") == ctype)
-            .withColumn("res", udf(F.col("url"), F.col("html")))
+            base.filter(pred)
+            .withColumn(
+                "res", udf(F.col("url"), F.col("html"), F.col("content_type"))
+            )
             .select("url", "content_type", "partition_id", "input_bytes", "res.*")
         )
         branches.append(b)
 
-    # unknown + declared-but-stubbed types: pure Column literal branch — the
-    # junk tail never crosses into Python (reference literal, :253).
-    other = base.filter(~F.col("content_type").isin(*IMPLEMENTED_TYPES)).select(
+    # unknown: pure Column literal branch — the junk tail never crosses into
+    # Python (reference literal, :253).
+    other = base.filter(~F.col("content_type").isin(*all_typed)).select(
         "url",
         "content_type",
         "partition_id",
