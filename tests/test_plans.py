@@ -1,0 +1,81 @@
+"""Physical-plan audits (task brief: '.explain the plan and iterate until
+it's the plan you'd want'). These lock the scale-critical plan properties:
+
+- predicate pushdown + column pruning reach the parquet scan
+- dimension joins are broadcast (no fact-side shuffle for dims)
+- top-k compiles to TakeOrderedAndProject (no global sort materialization)
+- aggregations are partial (map-side combine) before the shuffle
+- the extraction fan-out reuses one exchange (tested in test_pipeline.py)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("UTES_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(autouse=True)
+def _no_aqe(spark):
+    # inspect the static plan (AQE wraps everything pre-execution)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan, plan
+    # column pruning: only the 4 needed columns are read
+    assert "l_extendedprice" in plan.split("ReadSchema")[-1]
+    read_schema = plan.split("ReadSchema: ")[-1].splitlines()[0]
+    assert "l_returnflag" not in read_schema, read_schema
+    assert "WholeStageCodegen" in plan
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    # nation/region/customer/supplier all broadcast; only orders⋈lineitem
+    # may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_a5_topk_is_take_ordered(spark):
+    plan = _plan(spark, "a5_top_event_types")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # partial_ functions before the exchange = map-side combine
+    assert "partial_sum" in plan or "partial_avg" in plan, plan
+
+
+def test_anti_join_plan(spark):
+    plan = _plan(spark, "aj_customers_without_orders")
+    assert "LeftAnti" in plan, plan
+
+
+def test_entry_plan_no_python_udfs(spark):
+    """The analytics/text-stats surface must stay entirely JVM-side."""
+    for name in (
+        "t1_doc_profile", "t2_token_counts", "t3_quality_summary",
+        "a6_value_histogram", "a12_per_user_activity",
+    ):
+        plan = _plan(spark, name)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
