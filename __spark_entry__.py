@@ -20,6 +20,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from universal_text_extractor_spark.operators import analytics as A
 from universal_text_extractor_spark.operators import dedup as D
+from universal_text_extractor_spark.operators import multimodal as M
 from universal_text_extractor_spark.operators import similarity as S
 from universal_text_extractor_spark.operators import textstats as T
 from universal_text_extractor_spark.operators import tpch as Q
@@ -33,6 +34,16 @@ from universal_text_extractor_spark.sources.tables import load_table
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _pages_sample(spark: SparkSession, n: int = 500) -> DataFrame:
+    """Deterministic synthetic pages slice (binary payload column) for the
+    multimodal queries — the sf testdata tables carry no binary column, so
+    the seeded generator provides one (index-pure → identical at any
+    parallelism)."""
+    from universal_text_extractor_spark.sources.pages_gen import generate_pages_df
+
+    return generate_pages_df(spark, n, partitions=4)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -108,6 +119,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_lsh_ann_pairs": lambda s, d: S.lsh_ann_pairs(_t(s, d, "embeddings")),
         "s3_embedding_near_dup": lambda s, d: S.embedding_near_dup(
             _t(s, d, "embeddings"), sim_threshold=0.8
+        ),
+        "s4_ivf_topk": lambda s, d: S.ivf_topk(_t(s, d, "embeddings")),
+        # --- multimodal plumbing (no SQL twin: binary UDF surface; driver
+        # records the weaker rows-only check, full semantics locked by
+        # tests/test_multimodal.py) ---
+        "m1_media_metadata": lambda s, d: M.media_metadata(
+            _pages_sample(s), payload_col="html"
+        ),
+        "m2_frame_sample": lambda s, d: M.frame_sample(
+            _pages_sample(s), payload_col="html"
         ),
     }
 
@@ -202,6 +223,39 @@ def _lsh_sig_sql(emb: str) -> str:
         )
         terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _ivf_topk_sql(k: int = 10, n_probe: int = 2) -> str:
+    """Mirror of similarity.ivf_topk: same ±1 centroid matrix, same
+    first-max cluster assignment (list_position), same probe tie-break."""
+    dots = []
+    for c in range(S.IVF_CENTROIDS_N):
+        arr = "[" + ",".join(str(float(v)) for v in S.CENTROIDS[c]) + "]"
+        dots.append(
+            f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+            f"i -> embedding[i]::DOUBLE * ({arr}::DOUBLE[])[i]))"
+        )
+    cscores = "[" + ", ".join(dots) + "]"
+    qids = "(0, 1, 2, 3, 4)"
+    return (
+        f"WITH sc AS (SELECT vec_id, embedding, {cscores} AS cscores FROM embeddings), "
+        "asn AS (SELECT vec_id, embedding, "
+        "CAST(list_position(cscores, list_max(cscores)) AS INT) AS cluster FROM sc), "
+        f"qs AS (SELECT vec_id AS query_id, embedding AS q_emb, cscores FROM sc WHERE vec_id IN {qids}), "
+        f"qp AS (SELECT query_id, q_emb, i AS cluster, cscores[i] AS cscore "
+        f"FROM qs, generate_series(1, {S.IVF_CENTROIDS_N}) t(i)), "
+        "pr AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cscore DESC, cluster ASC) AS prank FROM qp), "
+        f"probe AS (SELECT query_id, q_emb, CAST(cluster AS INT) AS cluster FROM pr WHERE prank <= {n_probe}), "
+        "cand AS (SELECT p.query_id, p.q_emb, a.vec_id, a.embedding "
+        "FROM probe p JOIN asn a USING (cluster) WHERE a.vec_id <> p.query_id), "
+        "sims AS (SELECT query_id, vec_id, "
+        + _COS.format(dim=EMB_DIM, a="q_emb", b="embedding")
+        + " AS sim FROM cand) "
+        "SELECT query_id, vec_id, sim, rk FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY sim DESC, vec_id ASC) AS INT) AS rk FROM sims) WHERE rk <= {k}"
+    )
 
 
 def _lang_score(lang: str) -> str:
@@ -441,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS near_dup_pairs, "
             "round(coalesce(avg(sim), 0), 6) AS avg_sim FROM pairs WHERE sim >= 0.8"
         ),
+        "s4_ivf_topk": _ivf_topk_sql(),
     }
 
 

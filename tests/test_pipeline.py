@@ -9,6 +9,7 @@ import re
 from universal_text_extractor_spark.kernels import detect_content_type, extract_payload
 from universal_text_extractor_spark.operators.extract import (
     extract_pages,
+    extract_pages_fused,
     lineage_metrics,
 )
 from universal_text_extractor_spark.sources.pages_gen import (
@@ -83,6 +84,48 @@ def test_single_shuffle_reused(spark):
         assert reused >= n_branches - 1, (
             f"expected ≥{n_branches - 1} reused exchanges:\n{plan[:2000]}"
         )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_fused_equals_union(spark):
+    """The single-pass fused dispatch (throughput path) must be
+    byte-identical to the filter+union branch plan (north-star architecture)
+    on every stable column — same kernels, same dispatch rules, so equality
+    holds by construction; this locks it."""
+    pages = generate_pages_df(spark, N, partitions=4)
+    stable = ["url", "content_type", "partition_id", "input_bytes",
+              "text", "ocr_used", "success", "error", "logs"]
+    union_rows = {
+        r["url"]: r
+        for r in extract_pages(pages, num_partitions=8).select(*stable).collect()
+    }
+    fused_rows = {
+        r["url"]: r
+        for r in extract_pages_fused(pages, num_partitions=8).select(*stable).collect()
+    }
+    assert set(union_rows) == set(fused_rows)
+    bad = [
+        u
+        for u, r in union_rows.items()
+        if tuple(r) != tuple(fused_rows[u])
+    ]
+    assert not bad, f"{len(bad)} fused/union mismatches, e.g. {bad[:3]}"
+
+
+def test_fused_single_stage_plan(spark):
+    """The fused path must be exactly one shuffle + one Python stage."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pages = generate_pages_df(spark, 50, partitions=2)
+        plan = (
+            extract_pages_fused(pages, num_partitions=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # exactly one dispatch stage (the generator contributes its own
+        # MapInPandas gen(...) below the exchange) and one shuffle
+        assert plan.count("MapInPandas dispatch") == 1, plan
+        assert plan.count("Exchange") == 1, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 

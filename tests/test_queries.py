@@ -72,8 +72,10 @@ def test_query_vs_oracle(spark, duck, name):
 
 def test_every_query_has_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLES)
-    # every operator currently claims SQL-expressibility — keep it that way
-    assert not missing, f"queries without oracle: {missing}"
+    # m1/m2 are binary-UDF multimodal plumbing: genuinely non-SQL (driver
+    # records the rows-only check; semantics locked by test_multimodal.py)
+    allowed_no_oracle = {"m1_media_metadata", "m2_frame_sample"}
+    assert missing <= allowed_no_oracle, f"queries without oracle: {missing}"
 
 
 def test_entry_runs(spark):

@@ -64,19 +64,29 @@ def _jpeg_size(b: bytes):
     return None
 
 
+def parse_image_header(payload: bytes):
+    """Dispatch on magic bytes and parse (width, height, format) from the
+    header, or None for non-image/corrupt payloads. Shared by the K17
+    extraction branch below and operators/multimodal.py."""
+    try:
+        if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            return _png_size(payload)
+        if payload.startswith((b"GIF87a", b"GIF89a")):
+            return _gif_size(payload)
+        if payload.startswith(b"BM"):
+            return _bmp_size(payload)
+        if payload.startswith(b"\xff\xd8\xff"):
+            return _jpeg_size(payload)
+    except Exception:
+        return None
+    return None
+
+
 def extract_image_metadata(payload: bytes) -> tuple[str, list[str]]:
     """Returns (text, logs). Never raises."""
     logs = ["OCR not enabled for image file"]
     try:
-        dims = None
-        if payload.startswith(b"\x89PNG\r\n\x1a\n"):
-            dims = _png_size(payload)
-        elif payload.startswith((b"GIF87a", b"GIF89a")):
-            dims = _gif_size(payload)
-        elif payload.startswith(b"BM"):
-            dims = _bmp_size(payload)
-        elif payload.startswith(b"\xff\xd8\xff"):
-            dims = _jpeg_size(payload)
+        dims = parse_image_header(payload)
         if dims is None:
             return "[Image file - OCR not enabled]", logs
         w, h, fmt = dims

@@ -1,3 +1,13 @@
-from .extract import extract_pages, lineage_metrics, RESULT_SCHEMA
+from .extract import (
+    RESULT_SCHEMA,
+    extract_pages,
+    extract_pages_fused,
+    lineage_metrics,
+)
 
-__all__ = ["extract_pages", "lineage_metrics", "RESULT_SCHEMA"]
+__all__ = [
+    "extract_pages",
+    "extract_pages_fused",
+    "lineage_metrics",
+    "RESULT_SCHEMA",
+]

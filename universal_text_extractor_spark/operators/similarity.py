@@ -122,6 +122,107 @@ def lsh_ann_pairs(embeddings: DataFrame, sim_threshold: float = 0.6) -> DataFram
     )
 
 
+IVF_CENTROIDS_N = 8
+
+
+def _centroid_matrix() -> list[list[int]]:
+    """IVF_CENTROIDS_N × EMB_DIM ±1 centroid matrix, deterministic via
+    md5('c{c}:{i}') — disjoint seed space from PLANES."""
+    m = []
+    for c in range(IVF_CENTROIDS_N):
+        row = []
+        for i in range(EMB_DIM):
+            h = hashlib.md5(f"c{c}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[:2], 16) % 2 == 0 else -1)
+        m.append(row)
+    return m
+
+
+CENTROIDS = _centroid_matrix()
+
+
+def centroid_scores_col(emb: Column) -> Column:
+    """array<double>[IVF_CENTROIDS_N]: dot(centroid_c, emb) per centroid
+    (±1 centroids share a norm, so the max dot IS the max cosine)."""
+    e = _dbl(emb)
+    scores = []
+    for c in range(IVF_CENTROIDS_N):
+        cen = F.array(*[F.lit(float(v)) for v in CENTROIDS[c]])
+        scores.append(
+            F.aggregate(
+                F.zip_with(e, cen, lambda x, p: x * p),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*scores)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k (the scale path next to
+    :func:`brute_force_topk`): assign every vector to its nearest ±1
+    centroid (an inverted list), probe only the query's ``n_probe`` best
+    lists, rank candidates by exact cosine. At 10^12 vectors the
+    per-query candidate set shrinks by ~n_probe/IVF_CENTROIDS_N and the
+    assignment is a one-pass map; the probe join is a broadcast of the
+    (tiny) query set. Returns (query_id, vec_id, sim, rk).
+
+    Ties: cluster assignment takes the FIRST max (array_position), probe
+    ranking orders by (score desc, cluster asc) — both mirrored exactly in
+    the DuckDB oracle.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = embeddings.select(
+        "vec_id",
+        "embedding",
+        centroid_scores_col(F.col("embedding")).alias("cscores"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.array_position(F.col("cscores"), F.array_max(F.col("cscores")))
+        .cast("int")
+        .alias("cluster"),
+    )
+
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.posexplode(centroid_scores_col(F.col("embedding"))).alias(
+                "cidx", "cscore"
+            ),
+        )
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cscore"), F.asc("cidx")
+                )
+            ),
+        )
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "q_emb", (F.col("cidx") + 1).alias("cluster"))
+    )
+
+    cand = assigned.join(F.broadcast(q), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(cosine_sim(F.col("q_emb"), F.col("embedding")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def embedding_near_dup(embeddings: DataFrame, sim_threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate count via LSH buckets (the dedup
     variant: very high threshold)."""

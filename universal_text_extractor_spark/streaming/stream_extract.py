@@ -3,7 +3,8 @@
 The reference is strictly batch (SURVEY.md §2.5) and the north star keeps
 batch + snapshot resume as the primary design; this module is the
 *incremental-arrival* complement: a parquet file-source stream of pages →
-the same filter+union Arrow-UDF branches → checkpointed parquet sink.
+the same dispatch kernels (fused single-pass variant; byte-identical to
+the filter+union branch plan) → checkpointed parquet sink.
 ``trigger(availableNow=True)`` gives exactly-once, restartable batch-over-
 stream semantics (the streaming twin of plans/pipeline.py's manifest).
 
@@ -16,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract import extract_pages
+from ..operators.extract import extract_pages_fused
 from ..sources.pages_gen import PAGES_SCHEMA
 
 
@@ -35,7 +36,10 @@ def stream_extract_pages(
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
-    extracted = extract_pages(pages, num_partitions=num_partitions)
+    # fused single-pass dispatch: per micro-batch, the union plan's branch
+    # fan-out would re-read the (small) batch once per branch — the fused
+    # pass keeps each trigger at one shuffle + one Python stage
+    extracted = extract_pages_fused(pages, num_partitions=num_partitions)
     writer = (
         extracted.writeStream.format("parquet")
         .option("path", output_dir)
