@@ -86,9 +86,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customer": lambda s, d: Q.q18_large_volume_customer(
             _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
+        "q4_order_priority": lambda s, d: Q.q4_order_priority(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "q12_shipmode_priority": lambda s, d: Q.q12_shipmode_priority(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "q19_disjunctive_revenue": lambda s, d: Q.q19_disjunctive_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "q22_global_sales_opportunity": lambda s, d: Q.q22_global_sales_opportunity(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
         "w1_top_orders_per_segment": lambda s, d: Q.top_orders_per_segment(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
+        "w2_rolling_order_stats": lambda s, d: Q.rolling_order_stats(
+            _t(s, d, "orders")
+        ),
+        "w3_lang_rollup": lambda s, d: Q.lang_rollup(_t(s, d, "documents")),
         "aj_customers_without_orders": lambda s, d: Q.customers_without_orders(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
@@ -399,6 +415,52 @@ def oracle_sql() -> dict[str, str]:
             "FROM big JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "ORDER BY total_price DESC, o_orderkey ASC LIMIT 20"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01' "
+            "AND o_orderdate < TIMESTAMP '1997-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_returnflag = 'R') "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q12_shipmode_priority": (
+            "SELECT l_linestatus, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY l_linestatus ORDER BY l_linestatus"
+        ),
+        "q19_disjunctive_revenue": (
+            "SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2) AS revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE ((p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 30 AND p_size <= 15) "
+            "OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 40 AND p_size <= 25))"
+        ),
+        "q22_global_sales_opportunity": (
+            "WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0), "
+            "rich AS (SELECT c_custkey, c_acctbal, right(c_name, 2) AS cntrycode "
+            "FROM customer, ab WHERE c_acctbal > ab), "
+            "noord AS (SELECT * FROM rich WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) "
+            "SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, "
+            "round(SUM(c_acctbal), 2) AS totacctbal "
+            "FROM noord GROUP BY cntrycode ORDER BY cntrycode"
+        ),
+        "w2_rolling_order_stats": (
+            "SELECT o_custkey, o_orderkey, o_orderdate, "
+            "CAST(row_number() OVER w AS INT) AS order_seq, "
+            "floor(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) "
+            "OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)::DOUBLE "
+            "/ count(*) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) / 100.0 AS moving_avg_price, "
+            "round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, o_totalprice), 2) AS delta_vs_prev "
+            "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"
+        ),
+        "w3_lang_rollup": (
+            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "round(avg(n_chars), 2) AS avg_chars FROM documents "
+            "GROUP BY ROLLUP (lang, source) "
+            "ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"
         ),
         "w1_top_orders_per_segment": (
             "SELECT c_mktsegment, rk, o_orderkey, total_price FROM ("

@@ -31,11 +31,14 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 600k pages (~8.7 GB of html) so the ~5-7 s fixed stage overhead (scan
-# setup, python-worker pool, shuffle start) amortizes below 5% of wall at
-# the high level — at 150k rows it was ~30% and capped measurable scaling
-# efficiency at ~0.6 regardless of the engine.
-BENCH_ROWS = int(os.environ.get("UTES_BENCH_ROWS", "600000"))
+# 400k pages (~5.5 GB of payload, all 12 content classes) so the ~5-7 s
+# fixed stage overhead (scan setup, python-worker pool, shuffle start)
+# amortizes below 5% of wall at the high level — at 150k rows it was ~30%
+# and capped measurable scaling efficiency at ~0.6 regardless of the
+# engine. (600k of the pre-office-mix corpus measured eff 0.84; the
+# richer mix has higher per-doc kernel cost, so 400k keeps wall times
+# similar.)
+BENCH_ROWS = int(os.environ.get("UTES_BENCH_ROWS", "400000"))
 # Scaling levels: N and 4N cores. 2→8 (not 8→32 or 4→16): this sandbox's
 # 32 vCPUs sit on shared host cores — pure-CPU process pools scale to 32
 # (raw calibration: 2→8 eff 0.90, 4→16 eff 0.965, 8→32 eff 0.935), but any

@@ -213,3 +213,151 @@ def customers_without_orders(customer, orders) -> DataFrame:
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .agg(F.count("*").alias("inactive_customers"))
     )
+
+
+def q4_order_priority(orders, lineitem) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (no row multiplication from
+    the many-lineitem side), then a small group-by. At scale the semi join
+    shuffles both sides once on orderkey; no dim to broadcast. (Adapted to
+    the testdata columns: EXISTS(returned lineitem) instead of
+    commit<receipt, which the synthetic lineitem does not carry.)"""
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_shipmode_priority(orders, lineitem) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional (CASE) aggregation —
+    the two counts come out of ONE pass (no second scan/join). (Adapted:
+    grouped by l_linestatus instead of the absent l_shipmode.)"""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q19_disjunctive_revenue(lineitem, part) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across two tables — the
+    disjunction references both sides, so it must stay a post-join filter,
+    but each disjunct's single-side conjuncts (brand/size, quantity
+    ranges) still prune via the broadcast hash join's build side."""
+    j = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).filter(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+            & (F.col("p_size") <= 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40)
+            & (F.col("p_size") <= 25)
+        )
+    )
+    return j.agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("revenue")
+    )
+
+
+def q22_global_sales_opportunity(customer, orders) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (avg balance) + anti join
+    (customers with no orders), grouped by country code. The scalar avg is
+    a 1-row broadcast; the anti join shuffles once on custkey."""
+    cc = F.substring(F.col("c_name"), -2, 2).alias("cntrycode")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = (
+        customer.select("c_custkey", "c_acctbal", cc)
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+    )
+    return (
+        rich.join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+def rolling_order_stats(orders, days: int = 7) -> DataFrame:
+    """Window breadth: per-customer running order count and a date-ROWS
+    moving average of o_totalprice (ordered by date then key for
+    determinism). One shuffle on the window partition key."""
+    w_seq = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    w_avg = w_seq.rowsBetween(-(days - 1), 0)
+    # exact integer-cents accumulation: double window-sums associate
+    # differently across engines (DuckDB's segment tree vs a running sum)
+    # and flip the cent rounding — BIGINT cents are fold-order-proof, and
+    # floor (not round) of the exact-operand division sidesteps the
+    # HALF_UP-vs-binary-round divergence at x.xx5 boundaries
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w_seq).alias("order_seq"),
+        (
+            F.floor(
+                F.sum(cents).over(w_avg).cast("double")
+                / F.count("*").over(w_avg)
+            )
+            / F.lit(100.0)
+        ).alias("moving_avg_price"),
+        F.round(
+            F.col("o_totalprice")
+            - F.coalesce(
+                F.lag("o_totalprice", 1).over(w_seq), F.col("o_totalprice")
+            ),
+            2,
+        ).alias("delta_vs_prev"),
+    )
+
+
+def lang_rollup(documents) -> DataFrame:
+    """Grouping-set breadth: ROLLUP(lang, source) doc counts — subtotal and
+    grand-total rows in one pass (partial aggregation still applies)."""
+    return (
+        documents.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy(
+            F.asc_nulls_first("lang"), F.asc_nulls_first("source")
+        )
+    )

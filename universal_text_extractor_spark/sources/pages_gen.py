@@ -9,10 +9,15 @@ Design constraints (FIXTURES.md §1):
   resume-equivalence and scaling benches).
 - **Zipfian host skew** (s≈1.2) over a fixed 1000-host universe — the
   deliberate host-level skew the salted repartition must break.
-- content-class mix per FIXTURES.md: 55% well-formed HTML, 10% malformed
-  HTML, 8% non-UTF-8 HTML, 10% PDF, 7% plain text, 5% XML, 5% binary junk.
-- The PDF payloads come from a from-scratch PDF *writer* that shares no code
-  with the kernel's PDF *parser* (SURVEY.md §7.2).
+- content-class mix (every dispatch branch exercised end-to-end): 40%
+  well-formed HTML, 8% malformed HTML, 6% non-UTF-8 HTML, 10% PDF, 6% plain
+  text, 4% XML, 4% CSV, 3% RTF, 4% EML, 4% image (PNG/GIF/BMP/JPEG headers
+  + corrupt tail), 7% office zip-family (docx/pptx/xlsx/odt/odp/epub +
+  legacy OLE literals + corrupt-zip error path), 4% binary junk.
+- Every payload *writer* here is independent of the kernel *parsers*
+  (SURVEY.md §7.2): the PDF writer, the zip writer (fixed DOS timestamp for
+  index-purity), the MIME builder, the image headers — none share code with
+  the extraction kernels.
 
 The ``text`` column is left empty — the oracle text is computed at test time
 by the kernels themselves (tests/test_pipeline.py), per SURVEY.md §5.
@@ -249,14 +254,253 @@ def _junk_doc(rng: random.Random) -> bytes:
     return bytes(rng.getrandbits(8) for _ in range(rng.randint(16, 512)))
 
 
+def _csv_doc(rng: random.Random) -> bytes:
+    cols = rng.randint(2, 6)
+    header = ",".join(rng.choice(_WORDS) for _ in range(cols))
+    rows = [header]
+    for _ in range(rng.randint(3, 60)):
+        cells = []
+        for _c in range(cols):
+            if rng.random() < 0.15:  # quoted cell with comma / escaped quote
+                cells.append(f'"{rng.choice(_WORDS)}, ""{rng.choice(_WORDS)}"""')
+            elif rng.random() < 0.05:  # quoted multi-line cell
+                cells.append(f'"{rng.choice(_WORDS)}\n{rng.choice(_WORDS)}"')
+            else:
+                cells.append(rng.choice(_WORDS) if rng.random() < 0.8 else str(rng.randint(0, 999)))
+        rows.append(",".join(cells))
+    return ("\n".join(rows) + "\n").encode("utf-8")
+
+
+def _rtf_doc(rng: random.Random) -> bytes:
+    body = []
+    for _ in range(rng.randint(2, 12)):
+        s = _sentence(rng, rng.randint(4, 10))[:-1]
+        if rng.random() < 0.4:
+            s = s.replace(" ", r" \b ", 1).replace(" ", r"\b0  ", 2)
+        body.append(s + r"\par")
+    if rng.random() < 0.3:
+        body.append(r"caf\'e9 and \u233? done.\par")
+    doc = r"{\rtf1\ansi\deff0{\fonttbl{\f0 Helvetica;}}\f0\fs24 " + " ".join(body) + "}"
+    return doc.encode("latin-1", errors="replace")
+
+
+def _eml_doc(rng: random.Random) -> bytes:
+    frm = f"{rng.choice(_WORDS)}@example.com"
+    to = f"{rng.choice(_WORDS)}@example.org"
+    subj = _sentence(rng, rng.randint(2, 6))[:-1]
+    kind = rng.random()
+    if kind < 0.4:  # simple single-part
+        return (
+            f"From: {frm}\r\nTo: {to}\r\nSubject: {subj}\r\n\r\n"
+            f"{_paragraph(rng)}\r\n"
+        ).encode("utf-8")
+    parts = [
+        f"From: {frm}\r\nTo: {to}\r\nSubject: {subj}\r\n"
+        "Date: Mon, 06 Jan 2025 10:00:00 +0000\r\n"
+        "MIME-Version: 1.0\r\nContent-Type: multipart/alternative; boundary=BND\r\n\r\n"
+    ]
+    if kind < 0.8:  # text/plain preferred part present
+        parts.append(
+            "--BND\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+            f"{_paragraph(rng)}\r\n"
+        )
+    parts.append(
+        "--BND\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        f"<html><body><p>{_paragraph(rng)}</p></body></html>\r\n"
+    )
+    if rng.random() < 0.3:  # attachment → skipped (D9 predicate)
+        parts.append(
+            "--BND\r\nContent-Type: application/octet-stream\r\n"
+            "Content-Disposition: attachment; filename=x.bin\r\n\r\nBINDATA\r\n"
+        )
+    parts.append("--BND--\r\n")
+    return "".join(parts).encode("utf-8")
+
+
+def _image_doc(rng: random.Random) -> bytes:
+    import struct as _struct
+
+    w, h = rng.randint(16, 4000), rng.randint(16, 4000)
+    body = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 2048)))
+    kind = rng.random()
+    if kind < 0.35:  # PNG
+        return (
+            b"\x89PNG\r\n\x1a\n" + _struct.pack(">I", 13) + b"IHDR"
+            + _struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + body
+        )
+    if kind < 0.6:  # GIF
+        return b"GIF89a" + _struct.pack("<HH", w % 65536, h % 65536) + body
+    if kind < 0.8:  # BMP
+        return b"BM" + b"\x00" * 16 + _struct.pack("<ii", w, h) + b"\x00" * 8 + body
+    if kind < 0.9:  # JPEG with SOF0
+        return (
+            b"\xff\xd8\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + _struct.pack(">H", 17) + b"\x08"
+            + _struct.pack(">HH", h % 65536, w % 65536) + b"\x03" + b"\x00" * 9
+            + body + b"\xff\xd9"
+        )
+    return b"\xff\xd8\xff\x00" + body[:8]  # corrupt JPEG → literal fallback
+
+
+def _zip_fixed(entries: dict[str, str]) -> bytes:
+    """Deterministic zip: fixed DOS timestamp, stored (no compression) —
+    payload bytes are a pure function of the entries (index-purity)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for name, content in entries.items():
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            z.writestr(info, content)
+    return buf.getvalue()
+
+
+_W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+_P_NS = (
+    'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+    'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+)
+_X_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+_T_NS = (
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+)
+
+
+def _docx_doc(rng: random.Random) -> bytes:
+    paras = "".join(
+        f"<w:p><w:r><w:t>{_paragraph(rng)}</w:t></w:r></w:p>"
+        for _ in range(rng.randint(2, 15))
+    )
+    tbl = ""
+    if rng.random() < 0.4:
+        rows = "".join(
+            "<w:tr>" + "".join(
+                f"<w:tc><w:p><w:r><w:t>{rng.choice(_WORDS)}</w:t></w:r></w:p></w:tc>"
+                for _ in range(3)
+            ) + "</w:tr>"
+            for _ in range(rng.randint(2, 5))
+        )
+        tbl = f"<w:tbl>{rows}</w:tbl>"
+    return _zip_fixed({
+        "word/document.xml":
+            f"<w:document {_W_NS}><w:body>{paras}{tbl}</w:body></w:document>",
+    })
+
+
+def _pptx_doc(rng: random.Random) -> bytes:
+    entries = {}
+    for s in range(1, rng.randint(2, 6)):
+        texts = "".join(
+            f"<p:sp><p:txBody><a:p><a:r><a:t>{_sentence(rng, rng.randint(3, 8))}"
+            "</a:t></a:r></a:p></p:txBody></p:sp>"
+            for _ in range(rng.randint(1, 4))
+        )
+        entries[f"ppt/slides/slide{s}.xml"] = (
+            f"<p:sld {_P_NS}><p:cSld><p:spTree>{texts}</p:spTree></p:cSld></p:sld>"
+        )
+    return _zip_fixed(entries)
+
+
+def _xlsx_doc(rng: random.Random) -> bytes:
+    strings = [rng.choice(_WORDS) for _ in range(rng.randint(2, 8))]
+    sst = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    rows = "".join(
+        f'<row r="{r}">' + "".join(
+            (f'<c r="{chr(65 + c)}{r}" t="s"><v>{rng.randrange(len(strings))}</v></c>'
+             if rng.random() < 0.5
+             else f'<c r="{chr(65 + c)}{r}"><v>{rng.randint(0, 9999)}</v></c>')
+            for c in range(3)
+        ) + "</row>"
+        for r in range(1, rng.randint(3, 12))
+    )
+    return _zip_fixed({
+        "xl/workbook.xml":
+            f'<workbook {_X_NS}><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>',
+        "xl/sharedStrings.xml": f"<sst {_X_NS}>{sst}</sst>",
+        "xl/worksheets/sheet1.xml":
+            f"<worksheet {_X_NS}><sheetData>{rows}</sheetData></worksheet>",
+    })
+
+
+def _odf_doc(rng: random.Random) -> bytes:
+    heads = "".join(
+        f'<text:h text:outline-level="{rng.randint(1, 3)}">{_sentence(rng, 4)[:-1]}</text:h>'
+        for _ in range(rng.randint(0, 3))
+    )
+    paras = "".join(
+        f"<text:p>{_paragraph(rng)}</text:p>" for _ in range(rng.randint(2, 10))
+    )
+    return _zip_fixed({
+        "content.xml":
+            f"<office:document-content {_T_NS}><office:body><office:text>"
+            f"{heads}{paras}</office:text></office:body></office:document-content>",
+    })
+
+
+def _epub_doc(rng: random.Random) -> bytes:
+    nch = rng.randint(1, 4)
+    entries = {
+        "META-INF/container.xml":
+            '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/></rootfiles></container>',
+        "OEBPS/content.opf":
+            '<package xmlns="http://www.idpf.org/2007/opf" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            f"<metadata><dc:title>{_sentence(rng, 3)[:-1]}</dc:title>"
+            f"<dc:creator>{rng.choice(_WORDS)}</dc:creator></metadata>"
+            "<manifest>" + "".join(
+                f'<item id="c{i}" href="ch{i}.xhtml" media-type="application/xhtml+xml"/>'
+                for i in range(1, nch + 1)
+            ) + "</manifest><spine>" + "".join(
+                f'<itemref idref="c{i}"/>' for i in range(1, nch + 1)
+            ) + "</spine></package>",
+    }
+    for i in range(1, nch + 1):
+        entries[f"OEBPS/ch{i}.xhtml"] = (
+            f"<html><body><h1>{_sentence(rng, 3)[:-1]}</h1>"
+            f"<p>{_paragraph(rng)}</p></body></html>"
+        )
+    return _zip_fixed(entries)
+
+
+_OFFICE_KINDS = ["docx", "pptx", "xlsx", "odt", "odp", "epub", "doc", "ppt", "xls", "msg"]
+
+
+def _office_doc(rng: random.Random) -> tuple[bytes, str]:
+    kind = rng.choices(_OFFICE_KINDS, weights=[25, 15, 15, 10, 5, 10, 8, 4, 4, 4])[0]
+    if kind == "docx":
+        payload = _docx_doc(rng)
+    elif kind == "pptx":
+        payload = _pptx_doc(rng)
+    elif kind == "xlsx":
+        payload = _xlsx_doc(rng)
+    elif kind in ("odt", "odp"):
+        payload = _odf_doc(rng)
+    elif kind == "epub":
+        payload = _epub_doc(rng)
+    else:  # legacy OLE (doc/ppt/xls/msg) → reference literal branches
+        payload = b"\xd0\xcf\x11\xe0" + bytes(rng.getrandbits(8) for _ in range(64))
+    if rng.random() < 0.03:  # corrupt zip → error-containment path (D2)
+        payload = b"PK\x03\x04" + payload[4:20]
+    return payload, kind
+
+
 _CLASSES = [
     # (cumulative share, class name, extension choices incl. None=no ext)
-    (0.55, "html_ok", ["html", "html", "htm", None]),
-    (0.65, "html_bad", ["html", None]),
-    (0.73, "html_enc", ["html", "htm"]),
-    (0.83, "pdf", ["pdf", "pdf", None]),
-    (0.90, "txt", ["txt", None]),
-    (0.95, "xml", ["xml", None]),
+    (0.40, "html_ok", ["html", "html", "htm", None]),
+    (0.48, "html_bad", ["html", None]),
+    (0.54, "html_enc", ["html", "htm"]),
+    (0.64, "pdf", ["pdf", "pdf", None]),
+    (0.70, "txt", ["txt", None]),
+    (0.74, "xml", ["xml", None]),
+    (0.78, "csv", ["csv", "csv", None]),
+    (0.81, "rtf", ["rtf"]),
+    (0.85, "eml", ["eml"]),
+    (0.89, "image", ["png", "jpg", "gif", "bmp", None]),
+    (0.96, "office", None),  # extension = actual office kind
     (1.00, "junk", [None, "bin", "dat"]),
 ]
 
@@ -268,24 +512,35 @@ def make_page(i: int, seed: int = _SEED_DEFAULT) -> dict:
     for cum, cls, exts in _CLASSES:
         if u < cum:
             break
-    ext = rng.choice(exts)
+    if cls == "office":
+        payload, ext = _office_doc(rng)
+    else:
+        ext = rng.choice(exts)
+        if cls == "html_ok":
+            payload = _html_doc(rng, malformed=False)
+        elif cls == "html_bad":
+            payload = _html_doc(rng, malformed=True)
+        elif cls == "html_enc":
+            payload = _html_nonutf8(rng)
+        elif cls == "pdf":
+            payload = _pdf_doc(rng)
+        elif cls == "txt":
+            payload = _txt_doc(rng)
+        elif cls == "xml":
+            payload = _xml_doc(rng)
+        elif cls == "csv":
+            payload = _csv_doc(rng)
+        elif cls == "rtf":
+            payload = _rtf_doc(rng)
+        elif cls == "eml":
+            payload = _eml_doc(rng)
+        elif cls == "image":
+            payload = _image_doc(rng)
+        else:
+            payload = _junk_doc(rng)
     host = _zipf_host(rng)
     path = f"{cls}/{i:09d}" + (f".{ext}" if ext else "")
     url = f"https://{host}/{path}"
-    if cls == "html_ok":
-        payload = _html_doc(rng, malformed=False)
-    elif cls == "html_bad":
-        payload = _html_doc(rng, malformed=True)
-    elif cls == "html_enc":
-        payload = _html_nonutf8(rng)
-    elif cls == "pdf":
-        payload = _pdf_doc(rng)
-    elif cls == "txt":
-        payload = _txt_doc(rng)
-    elif cls == "xml":
-        payload = _xml_doc(rng)
-    else:
-        payload = _junk_doc(rng)
     # ≥8 distinct days (FIXTURES.md): 10-day span, seconds resolution
     ts = _EPOCH + _dt.timedelta(seconds=(i * 9973 + rng.randint(0, 3600)) % (10 * 86400))
     return {
