@@ -82,3 +82,23 @@ def test_entry_runs(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.columns == ["lang", "source", "n_docs", "avg_chars", "avg_tokens", "max_chars"]
+
+
+def test_dedup_flat_equals_array(spark):
+    """_shingles_flat (codegen'd window formulation) must produce the same
+    shingle set per doc as the array expression shingles_col."""
+    from pyspark.sql import functions as F
+
+    from universal_text_extractor_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(500)
+    flat = {
+        (r["doc_id"], r["shingle"])
+        for r in D._shingles_flat(docs).collect()
+    }
+    arr = {
+        (r["doc_id"], s)
+        for r in D._shingled(docs).collect()
+        for s in r["shingles"]
+    }
+    assert flat == arr

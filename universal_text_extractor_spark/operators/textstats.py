@@ -108,14 +108,26 @@ def fingerprints(documents: DataFrame, k: int = 5) -> DataFrame:
     bridge keeps the DuckDB oracle exact)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     n = F.length(norm)
-    grams = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)), F.lit(FINGERPRINT_STRIDE)
-        ),
-        lambda i: norm.substr(i, F.lit(k)),
+    # flat formulation: explode the sampled positions, hash each gram as a
+    # plain column, min-aggregate per doc. The array version (transform +
+    # array_min) evaluates interpreted per gram — this stays in whole-stage
+    # codegen and the shuffle carries only (doc_id, hash). Generate+Project
+    # pipeline means the normalized text is NOT duplicated per gram row.
+    ex = documents.select(
+        "doc_id",
+        norm.alias("nt"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(n - F.lit(k - 1), F.lit(1)),
+                F.lit(FINGERPRINT_STRIDE),
+            )
+        ).alias("i"),
     )
-    fp = F.array_min(F.transform(grams, lambda g: md5_long(g)))
-    return documents.select("doc_id", fp.alias("fingerprint"))
+    h = ex.select(
+        "doc_id", md5_long(F.col("nt").substr(F.col("i"), F.lit(k))).alias("h")
+    )
+    return h.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
 
 
 def doc_profile(documents: DataFrame) -> DataFrame:
