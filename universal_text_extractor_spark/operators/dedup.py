@@ -259,12 +259,38 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
     return out
 
 
+def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — flat formulation of :func:`simhash_col`: explode
+    tokens, hash the flat column, take the 16 per-bit sign-sums in ONE hash
+    aggregate (map-side combinable; the per-token ``aggregate`` lambda in
+    simhash_col evaluates interpreted). Same fingerprints, locked by the
+    dd5 oracle."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
+    )
+    h = toks.select("doc_id", md5_long(F.col("t")).alias("h"))
+    sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), bb).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{bb}")
+            for bb in range(bits)
+        ]
+    )
+    fp_expr = None
+    for bb in range(bits):
+        c = F.when(F.col(f"b{bb}") > 0, F.lit(2 ** bb).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp_expr = c if fp_expr is None else fp_expr + c
+    return sums.select("doc_id", fp_expr.alias("simhash"))
+
+
 def simhash_dedup_groups(documents: DataFrame, bits: int = 16) -> DataFrame:
     """Documents sharing a SimHash fingerprint (hamming-0 buckets; at scale
     extend with bit-rotation tables for hamming ≤ k)."""
-    fp = documents.select(
-        "doc_id", simhash_col(F.col("text"), bits).alias("simhash")
-    )
+    fp = simhash_fingerprints(documents, bits)
     return (
         fp.groupBy("simhash")
         .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("canonical_doc_id"))

@@ -45,12 +45,46 @@ def lang_id_col(text: Column) -> Column:
 
 def language_id(documents: DataFrame) -> DataFrame:
     """Predicted language per doc + agreement with the ground-truth lang
-    column, aggregated per (lang, predicted)."""
-    pred = documents.select(
-        "doc_id", "lang", lang_id_col(F.col("text")).alias("predicted")
+    column, aggregated per (lang, predicted).
+
+    Flat formulation: one token explode, all per-language marker hits in a
+    single hash aggregate (``isin`` over each small marker set compiles to
+    an InSet — whole-stage codegen; the ``F.filter`` array lambda in
+    lang_score_col evaluates interpreted per token × per language). Same
+    scores/argmax as lang_id_col; the t5 oracle locks it."""
+    langs = sorted(LANG_MARKERS)
+    ex = documents.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
     )
+    hits = ex.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        *[
+            F.sum(
+                F.when(F.col("w").isin(*LANG_MARKERS[lang]), 1).otherwise(0)
+            ).alias(f"hits_{lang}")
+            for lang in langs
+        ],
+    )
+    # empty-token docs drop out of the explode → left join back, zero hits
+    base = documents.select("doc_id", "lang").join(hits, "doc_id", "left")
+    safe_tok = F.greatest(F.coalesce(F.col("n_tok"), F.lit(0)), F.lit(1))
+    scored = base.select(
+        "doc_id",
+        "lang",
+        *[
+            F.round(
+                F.coalesce(F.col(f"hits_{lang}"), F.lit(0)) / safe_tok, 4
+            ).alias(f"s_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):  # first lang in sorted order wins ties
+        pred = F.when((F.col(f"s_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
     return (
-        pred.groupBy("lang", "predicted")
+        scored.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
         .agg(F.count("*").alias("cnt"))
         .orderBy("lang", "predicted")
     )
@@ -65,9 +99,42 @@ def quality_scores(documents: DataFrame) -> DataFrame:
 
 
 def quality_summary(documents: DataFrame) -> DataFrame:
-    """Corpus-level quality profile per (lang, source)."""
-    cols = quality_score_cols(F.col("text"))
-    scored = documents.select("lang", "source", *[c.alias(k) for k, c in cols.items()])
+    """Corpus-level quality profile per lang. Stopword counting is the flat
+    explode+InSet formulation (see language_id) instead of
+    quality_score_cols' interpreted array filter; scalar ratios (length /
+    alpha) stay plain column expressions."""
+    from ..functions.text_funcs import STOPWORDS, token_count_col
+
+    stops = (
+        documents.select(
+            "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+        )
+        .filter(F.col("w").isin(*STOPWORDS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_stop"))
+    )
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    n_tok = token_count_col(F.col("text"))
+    base = documents.select(
+        "doc_id", "lang",
+        n_chars.alias("n_chars"),
+        alpha.alias("alpha"),
+        n_tok.alias("n_tokens"),
+    ).join(stops, "doc_id", "left")
+    scored = base.select(
+        "lang",
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("alpha") / F.greatest(F.col("n_chars"), F.lit(1)), 4).alias(
+            "alpha_ratio"
+        ),
+        F.round(
+            F.coalesce(F.col("n_stop"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("stopword_ratio"),
+    )
     return (
         scored.groupBy("lang")
         .agg(
