@@ -54,7 +54,7 @@ EXTRACT_PARTITIONS = int(os.environ.get("UTES_BENCH_PARTITIONS", "64"))
 # best-of-K per level: this sandbox shows bursty host interference (vmstat
 # sys% spikes to 40-50 with idle cores); the best run is the engine's
 # throughput, the spread is the host's.
-BENCH_REPS = int(os.environ.get("UTES_BENCH_REPS", "2"))
+BENCH_REPS = int(os.environ.get("UTES_BENCH_REPS", "3"))
 DATA_DIR = str(REPO / ".bench_data" / f"pages_{BENCH_ROWS}")
 SHUFFLE_DIR = os.environ.get("UTES_SHUFFLE_DIR", "/dev/shm/utes-spark-local")
 

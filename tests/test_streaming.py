@@ -44,3 +44,76 @@ def test_windowed_metrics_batch_semantics(spark):
     m = windowed_metrics(pages).collect()
     assert sum(r["doc_count"] for r in m) == 300
     assert all(r["window_end"] > r["window_start"] for r in m)
+
+
+def test_stream_dedup_urls(spark, tmp_path):
+    """Cross-micro-batch url dedup with bounded (watermarked) state."""
+    from universal_text_extractor_spark.streaming import stream_dedup_urls
+
+    src = str(tmp_path / "dsrc")
+    pages = generate_pages_df(spark, 80, partitions=2)
+    pages.write.parquet(src)                      # batch 1
+    pages.write.mode("append").parquet(src)       # batch 2: exact dupes
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    deduped = stream_dedup_urls(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT count(DISTINCT url) c, count(*) n FROM dedup_out").collect()[0]
+    assert got["n"] == 80 and got["c"] == 80  # every duplicate dropped
+
+
+def test_host_running_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState totals accumulate across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from universal_text_extractor_spark.streaming import host_running_totals
+
+    src = str(tmp_path / "ssrc")
+    pages = generate_pages_df(spark, 100, partitions=1)
+    pages.write.parquet(src)
+    pages.write.mode("append").parquet(src)  # same pages again → totals 2x
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)   # force multiple micro-batches
+        .parquet(src)
+    )
+    q = (
+        host_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("host_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # latest state per host must equal 2x the batch totals
+    want = {
+        r["host"]: (2 * r["c"], 2 * r["b"])
+        for r in pages.groupBy(
+            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+        )
+        .agg(F.count("*").alias("c"), F.sum(F.length("html")).alias("b"))
+        .collect()
+    }
+    rows = spark.sql(
+        "SELECT host, max(doc_count) doc_count, max(total_bytes) total_bytes "
+        "FROM host_totals GROUP BY host"
+    ).collect()
+    got = {r["host"]: (r["doc_count"], r["total_bytes"]) for r in rows}
+    assert got == want

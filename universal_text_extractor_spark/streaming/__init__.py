@@ -1,3 +1,9 @@
+from .stateful import host_running_totals, stream_dedup_urls
 from .stream_extract import stream_extract_pages, windowed_metrics
 
-__all__ = ["stream_extract_pages", "windowed_metrics"]
+__all__ = [
+    "stream_extract_pages",
+    "windowed_metrics",
+    "stream_dedup_urls",
+    "host_running_totals",
+]

@@ -1,0 +1,95 @@
+"""Stateful Structured-Streaming operators (task brief: "watermarks +
+windowed aggs for late data; applyInPandasWithState for custom stateful
+operators").
+
+The batch pipeline stays the primary design (SURVEY.md §2.5); these are
+the incremental-arrival complements:
+
+- :func:`stream_dedup_urls` — cross-micro-batch URL dedup with a
+  watermark bound on state (the streaming twin of exact dedup dd1/dd2;
+  state size is bounded by the watermark horizon, so it survives an
+  unbounded stream).
+- :func:`host_running_totals` — custom stateful aggregation via
+  ``applyInPandasWithState``: per-host running document/byte totals that
+  persist across micro-batches (the streaming twin of the per-partition
+  lineage rollup). Arrow-batched; state is one small tuple per host key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+HOST_TOTALS_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("doc_count", LongType()),
+        StructField("total_bytes", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("doc_count", LongType()),
+        StructField("total_bytes", LongType()),
+    ]
+)
+
+
+def stream_dedup_urls(pages_stream: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Keep the first arrival of each url across micro-batches; duplicate
+    urls arriving within the watermark horizon are dropped exactly-once.
+    ``dropDuplicatesWithinWatermark`` lets the engine evict per-url state
+    once the watermark passes — bounded state on an unbounded stream
+    (plain ``dropDuplicates`` on a stream grows state forever)."""
+    return pages_stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
+
+
+def host_col(url) -> F.Column:
+    return F.regexp_extract(url, r"^https?://([^/]+)/", 1)
+
+
+def host_running_totals(pages_stream: DataFrame) -> DataFrame:
+    """Per-host running (doc_count, total_bytes) maintained across
+    micro-batches with ``applyInPandasWithState``. Output mode: update —
+    each trigger emits the new totals for hosts seen in that batch."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            doc_count, total_bytes = state.get
+        else:
+            doc_count, total_bytes = 0, 0
+        for pdf in pdfs:
+            doc_count += len(pdf)
+            total_bytes += int(pdf["n_bytes"].sum())
+        state.update((doc_count, total_bytes))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "doc_count": [doc_count],
+                "total_bytes": [total_bytes],
+            }
+        )
+
+    keyed = pages_stream.select(
+        host_col(F.col("url")).alias("host"),
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
+    ).groupBy("host")
+    return keyed.applyInPandasWithState(
+        update,
+        outputStructType=HOST_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
