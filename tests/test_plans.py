@@ -81,3 +81,31 @@ def test_entry_plan_no_python_udfs(spark):
     ):
         plan = _plan(spark, name)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_q4_semi_join_plan(spark):
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan, plan
+
+
+def test_q22_anti_join_and_broadcast(spark):
+    plan = _plan(spark, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan, plan
+    # the 1-row scalar avg is broadcast, not shuffled
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q19_pushes_single_side_conjuncts(spark):
+    """Each disjunct's part-only conjuncts cannot be pushed below the join
+    (they sit under an OR with lineitem predicates), but the join itself
+    must be a broadcast of part."""
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dd4_minhash_no_python_and_partial_agg(spark):
+    """The whole minhash/LSH pipeline stays JVM-side with map-side partial
+    min-aggregation (the flat-formulation scale property)."""
+    plan = _plan(spark, "dd4_minhash_lsh_pairs")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "partial_min" in plan, plan
