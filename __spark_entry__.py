@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "orders")
         ),
         "w3_lang_rollup": lambda s, d: Q.lang_rollup(_t(s, d, "documents")),
+        "w4_lang_source_cube": lambda s, d: Q.lang_source_cube(
+            _t(s, d, "documents")
+        ),
         "aj_customers_without_orders": lambda s, d: Q.customers_without_orders(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
@@ -460,6 +463,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "round(avg(n_chars), 2) AS avg_chars FROM documents "
             "GROUP BY ROLLUP (lang, source) "
+            "ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"
+        ),
+        "w4_lang_source_cube": (
+            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY CUBE (lang, source) "
             "ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"
         ),
         "w1_top_orders_per_segment": (

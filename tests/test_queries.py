@@ -40,7 +40,12 @@ def _norm(v):
 
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # None-safe sort key (CUBE/ROLLUP rows carry NULL grouping keys);
+    # equality still compares the actual normalized values
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
 
 
 @pytest.fixture(scope="module")

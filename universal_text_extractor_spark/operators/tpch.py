@@ -361,3 +361,14 @@ def lang_rollup(documents) -> DataFrame:
             F.asc_nulls_first("lang"), F.asc_nulls_first("source")
         )
     )
+
+
+def lang_source_cube(documents) -> DataFrame:
+    """CUBE(lang, source): all four grouping combinations (full, per-lang,
+    per-source, grand total) in one pass — the cross-tab companion to
+    :func:`lang_rollup`."""
+    return (
+        documents.cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
+    )
