@@ -1,10 +1,14 @@
 """Resume-equivalence property (SURVEY.md §5 item 5): kill after partial
 commit, resume, final table equals an uninterrupted single run. Plus
-retention-delete and export-sink checks."""
+staged-commit partition pruning, retention-delete (incl. crash injection)
+and export-sink checks."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
+from pyspark.sql import functions as F
 
 from universal_text_extractor_spark.plans.pipeline import (
     read_extracted,
@@ -42,6 +46,37 @@ def test_kill_and_resume_equals_single_run(spark, tmp_path):
     assert _table(spark, crashy) == _table(spark, single)
 
 
+def test_staged_commit_prunes_partitions(spark, tmp_path):
+    """The scale contract of the resume loop: the input is staged ONCE,
+    written partitionBy(bucket), and every per-bucket commit reads only its
+    own bucket=b directory (PartitionFilters prune — no full-input rescan
+    per bucket)."""
+    pages = generate_pages_df(spark, 200, partitions=2)
+    out = str(tmp_path / "staged")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(
+            spark, pages, out, n_buckets=4, num_partitions=2, fail_after_buckets=1
+        )
+    # the stage survives the crash (reused on resume, not rebuilt) …
+    staged_dir = f"{out}/_staged"
+    assert os.path.exists(f"{staged_dir}/_SUCCESS")
+    # … and the per-bucket read is partition-pruned to bucket=b
+    staged = spark.read.parquet(staged_dir)
+    plan = (
+        staged.filter(F.col("bucket") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    part_filters = plan.split("PartitionFilters: ")[1].splitlines()[0]
+    assert "bucket" in part_filters and "= 2" in part_filters, plan
+    # resume completes; the stage is dropped once every bucket committed
+    r = run_extraction(spark, pages, out, n_buckets=4, num_partitions=2)
+    assert len(r.skipped_buckets) == 1
+    assert not os.path.exists(staged_dir)
+    assert read_extracted(spark, out).count() == 200
+
+
 def test_completed_run_is_noop(spark, tmp_path):
     pages = generate_pages_df(spark, 100, partitions=2)
     out = str(tmp_path / "done")
@@ -61,6 +96,20 @@ def test_metrics_and_retention(spark, tmp_path):
     assert retention_cleanup(spark, out, "2000-01-01 00:00:00") == 0
     n = spark.read.parquet(f"{out}/metrics").count()
     assert retention_cleanup(spark, out, "2100-01-01 00:00:00") == n
+
+
+def test_retention_crash_is_safe(spark, tmp_path):
+    """Write-then-publish: a crash after the scratch write but before the
+    publish leaves the live metrics table fully intact, and the retried
+    cleanup completes."""
+    pages = generate_pages_df(spark, 100, partitions=2)
+    out = str(tmp_path / "retcrash")
+    run_extraction(spark, pages, out, n_buckets=2, num_partitions=2)
+    before = spark.read.parquet(f"{out}/metrics").count()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        retention_cleanup(spark, out, "2100-01-01 00:00:00", fail_before_publish=True)
+    assert spark.read.parquet(f"{out}/metrics").count() == before  # untouched
+    assert retention_cleanup(spark, out, "2100-01-01 00:00:00") == before
 
 
 def test_export_sinks(spark, tmp_path):

@@ -11,10 +11,23 @@ two-line change and does not alter the resume algorithm.
 Unit of commit: a url-hash *bucket* (``pmod(xxhash64(url, salt), n_buckets)``).
 Each bucket commits atomically: extracted parquet first, then metrics, then
 the manifest row — a crash between leaves an orphan data dir that the next
-run simply overwrites (write-then-publish). ``pending`` buckets are found by
-a broadcast **left-anti join** of the pages' bucket ids against the
-manifest — the reference's batch loop (text_extractor_api.py:142-159)
-replaced by restartable partition-parallel units.
+run simply overwrites (write-then-publish). The manifest records EVERY
+bucket id 0..n_buckets-1 (empty ones too), so a completed run's re-invoke
+is a pure manifest read — the reference's batch loop
+(text_extractor_api.py:142-159) replaced by restartable partition-parallel
+units.
+
+Input is scanned ONCE per run: the pending pages are staged to
+``out_dir/_staged`` written ``partitionBy("bucket")``, and every per-bucket
+commit then reads only its own ``bucket=b`` directory (partition pruning —
+locked by tests/test_resume.py::test_staged_commit_prunes_partitions).
+The earlier formulation filtered ``xxhash64(url)%n`` per bucket against the
+raw input, which nothing can push down: n_buckets full scans of the input
+(~10^3 scans of 100 TB at the design point) — the resume mechanism itself
+was the scale-killer. Staging costs one extra write of the pending set,
+amortized across every commit and every resume (a crashed run's stage is
+reused, not rebuilt). With Iceberg the stage is a MERGE-managed scratch
+table; the _SUCCESS check below is the snapshot-commit check.
 
 Scale: n_buckets bounds the blast radius of a failure (work lost ≤ 1/n of
 the job), and each bucket is itself partition-parallel inside
@@ -24,6 +37,8 @@ the job), and each bucket is itself partition-parallel inside
 from __future__ import annotations
 
 import dataclasses
+import os
+import shutil
 import time
 import uuid
 
@@ -52,6 +67,18 @@ def _bucket_col(n_buckets: int):
 
 def _manifest_path(out_dir: str) -> str:
     return f"{out_dir}/_manifest"
+
+
+def _staged_path(out_dir: str) -> str:
+    return f"{out_dir}/_staged"
+
+
+def _staged_is_committed(staged_dir: str) -> bool:
+    """Parquet writes publish a ``_SUCCESS`` marker on commit; a crash
+    mid-stage leaves the dir without it and the next run restages
+    (overwrite). Local-FS check — with Iceberg this is the staging table's
+    snapshot existing."""
+    return os.path.exists(os.path.join(staged_dir, "_SUCCESS"))
 
 
 def committed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
@@ -86,18 +113,28 @@ def run_extraction(
     t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:12]
     done = set(committed_buckets(spark, out_dir))
-    bucketed = pages.withColumn("bucket", _bucket_col(n_buckets))
+    pending_buckets = [b for b in range(n_buckets) if b not in done]
 
-    # anti-join of pending work against the committed manifest (broadcast —
-    # the manifest is tiny). With Iceberg this would be the snapshot diff.
-    if done:
-        done_df = spark.createDataFrame([(b,) for b in sorted(done)], "bucket int")
-        pending = bucketed.join(F.broadcast(done_df), "bucket", "left_anti")
-    else:
-        pending = bucketed
-    pending_buckets = sorted(
-        r["bucket"] for r in pending.select("bucket").distinct().collect()
-    )
+    if not pending_buckets:  # completed run: pure manifest read, no input scan
+        return ExtractionRun(
+            run_id=run_id,
+            committed_buckets=[],
+            skipped_buckets=sorted(done),
+            rows_written=0,
+            wall_secs=time.time() - t0,
+        )
+
+    # ONE scan of the input per run: stage the pages bucketed, written
+    # partitionBy("bucket"), so each commit below reads only bucket=b via
+    # partition pruning. A crashed run's committed stage is reused (the
+    # already-done buckets are simply skipped); an uncommitted stage
+    # (_SUCCESS missing) is rebuilt.
+    staged_dir = _staged_path(out_dir)
+    if not _staged_is_committed(staged_dir):
+        pages.withColumn("bucket", _bucket_col(n_buckets)).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(staged_dir)
+    staged = spark.read.parquet(staged_dir)
 
     committed: list[int] = []
     rows_written = 0
@@ -106,19 +143,31 @@ def run_extraction(
             raise RuntimeError(
                 f"injected failure after {fail_after_buckets} buckets (run {run_id})"
             )
-        chunk = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        # partition-pruned: only the bucket=b directory of the stage is read
+        chunk = staged.filter(F.col("bucket") == b).drop("bucket")
         extractor = extract_pages_fused if fused else extract_pages
         extracted = extractor(chunk, num_partitions=num_partitions)
         # write-then-publish: data, metrics, manifest — in that order
         extracted.write.mode("overwrite").parquet(f"{out_dir}/extracted/bucket={b}")
         written = spark.read.parquet(f"{out_dir}/extracted/bucket={b}")
         metrics = lineage_metrics(written, run_id).withColumn("bucket", F.lit(b))
-        metrics.write.mode("append").parquet(f"{out_dir}/metrics")
+        # collect the (≤num_partitions) lineage rows once: the rows both
+        # publish to the metrics table and carry doc_count, so no extra
+        # written.count() action re-reads the bucket output
+        metric_rows = metrics.collect()
+        if metric_rows:
+            spark.createDataFrame(metric_rows, metrics.schema).write.mode(
+                "append"
+            ).parquet(f"{out_dir}/metrics")
         spark.createDataFrame(
             [(b, run_id)], "bucket int, run_id string"
         ).write.mode("append").parquet(_manifest_path(out_dir))
-        rows_written += written.count()
+        rows_written += sum(r["doc_count"] for r in metric_rows)
         committed.append(b)
+
+    # all buckets committed → the stage has served its purpose; drop it so a
+    # completed output dir carries no second copy of the input
+    shutil.rmtree(staged_dir, ignore_errors=True)
 
     return ExtractionRun(
         run_id=run_id,
@@ -139,20 +188,41 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def retention_cleanup(
-    spark: SparkSession, out_dir: str, cutoff_ts: str
+    spark: SparkSession,
+    out_dir: str,
+    cutoff_ts: str,
+    fail_before_publish: bool = False,
 ) -> int:
     """D7/A10 retention delete (reference utils/database.py:583-621) on the
     metrics table. With Iceberg this is ``DELETE FROM metrics WHERE ts <
-    cutoff``; the parquet fallback rewrites the table minus expired rows and
-    returns the deleted count (same observable semantics)."""
+    cutoff``; the parquet fallback is write-then-publish: the kept rows are
+    fully written to a scratch dir BEFORE the live table is touched, so a
+    crash at any point leaves either the old table (scratch orphan is
+    overwritten next time) or both copies on disk — never neither
+    (crash-injection: tests/test_resume.py::test_retention_crash_is_safe).
+    Returns the deleted count (same observable semantics as the reference).
+
+    Cost: one combined count scan + one filtered write (the old
+    formulation ran three scans).
+    """
     path = f"{out_dir}/metrics"
     df = spark.read.parquet(path)
-    keep = df.filter(F.col("ts") >= F.lit(cutoff_ts).cast("timestamp"))
-    deleted = df.count() - keep.count()
+    keep_cond = F.col("ts") >= F.lit(cutoff_ts).cast("timestamp")
+    counts = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(keep_cond, 1).otherwise(0)).alias("kept"),
+    ).collect()[0]
+    deleted = int(counts["n"]) - int(counts["kept"] or 0)
+    if deleted == 0:
+        return 0
     tmp = f"{out_dir}/metrics_tmp"
-    keep.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    old = f"{out_dir}/metrics_old"
+    df.filter(keep_cond).write.mode("overwrite").parquet(tmp)
+    if fail_before_publish:  # crash-injection hook for tests
+        raise RuntimeError("injected crash before retention publish")
+    # publish: retire old, promote new, then drop the retired copy
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
     return deleted
