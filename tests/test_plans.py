@@ -44,17 +44,36 @@ def test_q6_filter_pushdown_and_pruning(spark):
     assert "WholeStageCodegen" in plan or "*(" in plan, plan
 
 
-def test_q3_broadcasts_dimension(spark):
+def test_q3_topk_and_small_dim_strategy(spark):
     plan = _plan(spark, "q3_shipping_priority")
+    # customer carries NO broadcast hint (scale-proportional; VERDICT item
+    # 2) — at this SF size statistics still pick a broadcast join, which is
+    # exactly the stats-driven behavior we want
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_q5_all_dims_broadcast(spark):
+def test_q5_fixed_dims_broadcast(spark):
     plan = _plan(spark, "q5_local_supplier_volume")
-    # nation/region/customer/supplier all broadcast; only orders⋈lineitem
-    # may shuffle
-    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # nation/region (constant-size) are explicitly broadcast at EVERY
+    # scale; customer/supplier are unhinted and may shuffle at large SF
+    # (here size stats broadcast them too, hence >= 2 not == 2)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_no_forced_broadcast_of_scaling_tables():
+    """Source-level contract: F.broadcast() hints only on fixed-size
+    region/nation (and q22's 1-row scalar subquery) — never on
+    customer/supplier/part, which grow with scale factor."""
+    import inspect
+
+    from universal_text_extractor_spark.operators import tpch
+
+    src = inspect.getsource(tpch)
+    import re
+
+    hinted = re.findall(r"F\.broadcast\(\s*(\w+)", src)
+    assert set(hinted) <= {"nation", "region", "avg_bal"}, hinted
 
 
 def test_a5_topk_is_take_ordered(spark):

@@ -6,10 +6,15 @@ dimensions, semi/anti patterns, windows — adapted to the columns the
 synthetic tables actually have.
 
 Scale notes per query:
-- dimension tables (region/nation/customer/supplier/part) are broadcast —
-  no shuffle of the fact side for those joins (AQE would pick this up at
-  these sizes anyway; we make it explicit because at 100 TB the autobroadcast
-  threshold guess is not something to rely on).
+- FIXED-size dimensions (region: 5 rows, nation: 25 rows — constant at
+  every scale factor) are broadcast explicitly: the hint is always right
+  for them and removes any fact-side shuffle for those joins.
+- SCALE-PROPORTIONAL tables (customer/supplier/part grow with SF) carry NO
+  broadcast hint: at 100× the data a forced broadcast OOMs the executors,
+  so the decision is left to size statistics + AQE, which broadcast them
+  while they fit and fall back to a shuffled hash join when they don't.
+  (Round-1 forced these; de-broadcast per VERDICT.md item 2.)
+- the only other explicit broadcast is q22's 1-row scalar-subquery result.
 - fact-fact joins (orders⋈lineitem) shuffle on the join key once; aggs are
   partial map-side first.
 """
@@ -49,7 +54,8 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
 
 
 def q3_shipping_priority(customer, orders, lineitem) -> DataFrame:
-    """TPC-H Q3 shape: broadcast customer dim, shuffle orders⋈lineitem."""
+    """TPC-H Q3 shape: shuffle orders⋈lineitem; customer is
+    scale-proportional so its join strategy is left to size stats/AQE."""
     return (
         lineitem.filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
         .join(
@@ -59,7 +65,7 @@ def q3_shipping_priority(customer, orders, lineitem) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -74,14 +80,13 @@ def q3_shipping_priority(customer, orders, lineitem) -> DataFrame:
 
 
 def q5_local_supplier_volume(region, nation, customer, supplier, orders, lineitem) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join, all dims broadcast."""
+    """TPC-H Q5 shape: 6-way join. Fixed dims (nation/region) broadcast;
+    customer/supplier left to AQE (they grow with SF)."""
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
-        )
-        .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -127,7 +132,7 @@ def q10_returned_items(customer, orders, lineitem, nation) -> DataFrame:
     return (
         lineitem.filter(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -141,14 +146,15 @@ def q10_returned_items(customer, orders, lineitem, nation) -> DataFrame:
 
 
 def q14_promo_revenue(lineitem, part) -> DataFrame:
-    """TPC-H Q14 shape: conditional agg over a broadcast-joined dim."""
+    """TPC-H Q14 shape: conditional agg over a joined dim (part grows
+    with SF — join strategy left to AQE)."""
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.sum(
@@ -173,7 +179,7 @@ def q18_large_volume_customer(customer, orders, lineitem, qty_threshold: int = 1
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -194,7 +200,7 @@ def top_orders_per_segment(customer, orders, k: int = 3) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(
@@ -258,9 +264,10 @@ def q19_disjunctive_revenue(lineitem, part) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs predicate across two tables — the
     disjunction references both sides, so it must stay a post-join filter,
     but each disjunct's single-side conjuncts (brand/size, quantity
-    ranges) still prune via the broadcast hash join's build side."""
+    ranges) still prune on the part side before the join (strategy left
+    to AQE — part grows with SF)."""
     j = lineitem.join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        part, F.col("l_partkey") == F.col("p_partkey")
     ).filter(
         (
             (F.col("p_brand") == "Brand#12")
