@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd3_ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
             _t(s, d, "documents"), threshold=0.2
         ),
+        "dd6_simhash_near_pairs": lambda s, d: D.simhash_near_dup_pairs(
+            _t(s, d, "documents")
+        ),
         "dd4_minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
             _t(s, d, "documents"), threshold=0.2
         ),
@@ -218,7 +221,9 @@ def _minhash_lsh_sql(threshold: float) -> str:
     )
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_fp_cte(bits: int = 16) -> str:
+    """WITH … fp(doc_id, simhash) — shared by dd5 (groups) and dd6
+    (banded hamming ≤ k pairs); mirrors dedup.simhash_fingerprints."""
     bit_terms = " + ".join(
         f"(CASE WHEN sum(((hv >> {b}) & 1) * 2 - 1) > 0 THEN {2 ** b} ELSE 0 END)"
         for b in range(bits)
@@ -226,9 +231,32 @@ def _simhash_sql(bits: int = 16) -> str:
     return (
         "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents), "
         f"h AS (SELECT doc_id, {_H.format(x='t')} AS hv FROM tok), "
-        f"fp AS (SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h GROUP BY doc_id) "
+        f"fp AS (SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h GROUP BY doc_id)"
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    return (
+        _simhash_fp_cte(bits) + " "
         "SELECT simhash, CAST(COUNT(*) AS BIGINT) AS group_size, MIN(doc_id) AS canonical_doc_id "
         "FROM fp GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash"
+    )
+
+
+def _simhash_near_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    """Mirror of dedup.simhash_near_dup_pairs: SIMHASH_BANDS bands as the
+    candidate join key, exact popcount verify."""
+    bw = bits // D.SIMHASH_BANDS
+    mask = (1 << bw) - 1
+    return (
+        _simhash_fp_cte(bits) + ", "
+        f"bands AS (SELECT doc_id, simhash, band, (simhash >> (band * {bw})) & {mask} AS val "
+        f"FROM fp, generate_series(0, {D.SIMHASH_BANDS - 1}) t(band)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "a.simhash AS sa, b.simhash AS sb FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id) "
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"
     )
 
 
@@ -524,9 +552,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS kept_count FROM kept"
         ),
         "dd3_ngram_jaccard_pairs": (
+            # mirrors dedup.ngram_jaccard_pairs incl. the SHINGLE_DF_CAP
+            # posting-list cap (shingles in > cap docs dropped; per-doc
+            # counts recomputed over the capped universe)
             f"WITH w AS (SELECT doc_id, {_words()} AS ws FROM documents), "
             f"sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w), "
-            "ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh), "
+            "ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "
+            "capped AS (SELECT doc_id, shingle FROM (SELECT doc_id, shingle, "
+            "COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex0) "
+            f"WHERE df <= {D.SHINGLE_DF_CAP}), "
+            "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM capped GROUP BY doc_id), "
+            "ex AS (SELECT c.doc_id, c.shingle, n.n_sh FROM capped c JOIN cnt n USING (doc_id)), "
             "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, "
             "CAST(COUNT(*) AS BIGINT) AS inter FROM ex a JOIN ex b "
             "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
@@ -536,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dd4_minhash_lsh_pairs": _minhash_lsh_sql(0.2),
         "dd5_simhash_groups": _simhash_sql(16),
+        "dd6_simhash_near_pairs": _simhash_near_pairs_sql(16),
         "s1_brute_force_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings "
             "WHERE vec_id IN (0, 1, 2, 3, 4)), "

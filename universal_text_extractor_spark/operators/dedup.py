@@ -117,12 +117,37 @@ def _shingle_counts(flat: DataFrame) -> DataFrame:
     return flat.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
 
-def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+SHINGLE_DF_CAP = 100
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.8, max_doc_freq: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """n-gram Jaccard near-dup pairs via inverted-index self-join:
-    flat shingles → join on shingle → |∩| per (a,b) → Jaccard.
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    flat shingles → drop ubiquitous shingles → join on shingle → |∩| per
+    (a,b) → Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Skew bound: shingles with document frequency > ``max_doc_freq`` are
+    dropped from the posting lists before the self-join (standard for
+    inverted-index joins — an "of the and"-class shingle shared by a large
+    fraction of the corpus would otherwise put ~n docs on one join key and
+    emit ~n² candidate rows there). With the cap, a single shingle
+    contributes ≤ cap² candidate rows, and the total candidate volume is
+    ≤ cap × (total shingle rows) — linear in corpus size at a fixed cap.
+    Jaccard is computed over the capped shingle universe on BOTH sides
+    (|∩| and the per-doc counts), mirrored exactly in the DuckDB oracle.
+    The doc-frequency count is a window over the shingle key, so the
+    subsequent self-join reuses the same hash partitioning — one shuffle,
+    not two."""
+    from pyspark.sql.window import Window
+
     flat = _shingles_flat(documents)
-    ex = flat.join(_shingle_counts(flat), "doc_id")
+    kept = (
+        flat.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= max_doc_freq)
+        .drop("df")
+    )
+    ex = kept.join(_shingle_counts(kept), "doc_id")
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -288,12 +313,73 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def simhash_dedup_groups(documents: DataFrame, bits: int = 16) -> DataFrame:
-    """Documents sharing a SimHash fingerprint (hamming-0 buckets; at scale
-    extend with bit-rotation tables for hamming ≤ k)."""
+    """Documents sharing a SimHash fingerprint (hamming-0 buckets; the
+    hamming ≤ k companion is :func:`simhash_near_dup_pairs`)."""
     fp = simhash_fingerprints(documents, bits)
     return (
         fp.groupBy("simhash")
         .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("canonical_doc_id"))
         .filter(F.col("group_size") > 1)
         .orderBy("simhash")
+    )
+
+
+SIMHASH_BANDS = 4
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame, bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs at hamming distance ≤ ``max_hamming``:
+    the 16-bit fingerprint is banded into SIMHASH_BANDS × (bits/bands)-bit
+    bands (the same LSH trick minhash_lsh_pairs uses), candidate pairs
+    share at least one intact band, and candidates are verified with the
+    exact popcount of the XOR. By pigeonhole, a pair within hamming ≤
+    SIMHASH_BANDS − 1 (= 3) cannot corrupt every band, so recall is EXACT
+    at the default — the banding is a pure candidate-pruning step, not an
+    approximation. Sub-quadratic: the join key is (band, band-value), so
+    candidate volume is per-bucket, never all-pairs.
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    band_width = bits // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    fp = simhash_fingerprints(documents, bits)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for bi in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
