@@ -62,7 +62,11 @@ def test_stream_dedup_urls(spark, tmp_path):
         .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
-    deduped = stream_dedup_urls(stream)
+    # watermark wider than the generator's 10-day event-time span: if the
+    # file source interleaves the two writes into one batch, fresh urls
+    # must not fall below the watermark and be dropped as late (flake
+    # guard; ADVICE.md r01)
+    deduped = stream_dedup_urls(stream, watermark="30 days")
     q = (
         deduped.writeStream.format("memory")
         .queryName("dedup_out")
@@ -73,6 +77,69 @@ def test_stream_dedup_urls(spark, tmp_path):
     q.awaitTermination(300)
     got = spark.sql("SELECT count(DISTINCT url) c, count(*) n FROM dedup_out").collect()[0]
     assert got["n"] == 80 and got["c"] == 80  # every duplicate dropped
+
+
+def test_late_row_lands_in_event_time_window(spark, tmp_path):
+    """Watermarked event-time windowed agg under availableNow restart: a
+    row arriving in run 2 with an OLD event time (later than nothing in
+    arrival order, earlier than everything in event time — but within the
+    watermark) must merge into its original window, and that window must
+    finalize with the late row counted."""
+    import datetime as dt
+
+    from universal_text_extractor_spark.streaming import windowed_metrics
+
+    src = str(tmp_path / "wsrc")
+    ckpt = str(tmp_path / "wckpt")
+    out = str(tmp_path / "wout")
+
+    def _rows(ts_counts):
+        return spark.createDataFrame(
+            [
+                (f"https://h/{ts}-{i}", dt.datetime.fromisoformat(ts), b"x" * 10,
+                 "t", "en")
+                for ts, n in ts_counts
+                for i in range(n)
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    def _run():
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).parquet(src)
+        q = (
+            windowed_metrics(stream, window="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: two rows in the 10:00 window + a clock-mover at 11:30.
+    # watermark after run 1 = 11:30 − 1 day → nothing finalizes yet.
+    _rows([("2026-01-02 10:00:00", 1), ("2026-01-02 10:30:00", 1),
+           ("2026-01-02 11:30:00", 1)]).write.parquet(src)
+    _run()
+
+    # run 2 (restart from checkpoint): a LATE row whose event time falls in
+    # the already-open 10:00 window, plus a mover 2 days ahead that pushes
+    # the watermark past every window end so they all finalize.
+    _rows([("2026-01-02 10:45:00", 1), ("2026-01-04 12:00:00", 1)]).write.mode(
+        "append"
+    ).parquet(src)
+    _run()
+
+    got = {
+        r["window_start"].isoformat(): r["doc_count"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window holds BOTH run-1 rows AND the late run-2 row
+    assert got.get("2026-01-02T10:00:00") == 3, got
+    assert got.get("2026-01-02T11:00:00") == 1, got
 
 
 def test_host_running_totals_stateful(spark, tmp_path):

@@ -58,14 +58,28 @@ def host_col(url) -> F.Column:
     return F.regexp_extract(url, r"^https?://([^/]+)/", 1)
 
 
-def host_running_totals(pages_stream: DataFrame) -> DataFrame:
+def host_running_totals(
+    pages_stream: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Per-host running (doc_count, total_bytes) maintained across
     micro-batches with ``applyInPandasWithState``. Output mode: update —
-    each trigger emits the new totals for hosts seen in that batch."""
+    each trigger emits the new totals for hosts seen in that batch.
+
+    State bound: with the default ``state_ttl_ms=None`` the per-host state
+    is NEVER evicted — fine for a bounded host universe (a fixed crawl
+    frontier) but a leak on an open-world stream. Pass a TTL to evict
+    hosts idle longer than ``state_ttl_ms`` (ProcessingTimeTimeout); an
+    evicted host's totals restart from zero on its next arrival, i.e. the
+    rollup degrades to per-TTL-epoch totals rather than all-time —
+    the standard trade for bounded state on an unbounded key space."""
+    use_ttl = state_ttl_ms is not None
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             doc_count, total_bytes = state.get
         else:
@@ -74,6 +88,8 @@ def host_running_totals(pages_stream: DataFrame) -> DataFrame:
             doc_count += len(pdf)
             total_bytes += int(pdf["n_bytes"].sum())
         state.update((doc_count, total_bytes))
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {
                 "host": [key[0]],
@@ -91,5 +107,9 @@ def host_running_totals(pages_stream: DataFrame) -> DataFrame:
         outputStructType=HOST_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )
