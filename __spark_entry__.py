@@ -473,7 +473,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0), "
             "rich AS (SELECT c_custkey, c_acctbal, right(c_name, 2) AS cntrycode "
             "FROM customer, ab WHERE c_acctbal > ab), "
-            "noord AS (SELECT * FROM rich WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) "
+            "noord AS (SELECT * FROM rich r WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)) "
             "SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, "
             "round(SUM(c_acctbal), 2) AS totacctbal "
             "FROM noord GROUP BY cntrycode ORDER BY cntrycode"
@@ -506,8 +506,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rk <= 3"
         ),
         "aj_customers_without_orders": (
-            "SELECT CAST(COUNT(*) AS BIGINT) AS inactive_customers FROM customer "
-            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+            "SELECT CAST(COUNT(*) AS BIGINT) AS inactive_customers FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
         ),
         "t1_doc_profile": (
             "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
