@@ -162,7 +162,9 @@ def fixtures() -> list[tuple[str, str, bytes]]:
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w") as z:
             for name, content in entries.items():
-                z.writestr(name, content)
+                # fixed timestamp: regeneration must be byte-stable (the
+                # index-purity invariant pages_gen._zip_fixed already keeps)
+                z.writestr(zipfile.ZipInfo(name, (2020, 1, 1, 0, 0, 0)), content)
         return buf.getvalue()
 
     W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
@@ -242,6 +244,19 @@ def fixtures() -> list[tuple[str, str, bytes]]:
     docs.append(("ppt_legacy", "https://hd.example.com/n/old.ppt", b"\xd0\xcf\x11\xe0old-ole-ppt"))
     docs.append(("xls_legacy", "https://hd.example.com/n/old.xls", b"\xd0\xcf\x11\xe0old-ole-xls"))
     docs.append(("msg_stub", "https://hd.example.com/n/mail.msg", b"\xd0\xcf\x11\xe0old-ole-msg"))
+    # real BIFF8 workbook from the independent writer (strings via SST,
+    # ints and floats via NUMBER, two sheets, sparse row)
+    from universal_text_extractor_spark.sources.pages_gen import make_xls
+
+    docs.append((
+        "xls_basic", "https://hd.example.com/n/ledger.xls",
+        make_xls([
+            ("Ledger", [["item", "qty", "price"],
+                        ["apple", 3, 1.5],
+                        ["pear", 12, 0.25]]),
+            ("Notes", [["only one cell"]]),
+        ]),
+    ))
     return docs
 
 

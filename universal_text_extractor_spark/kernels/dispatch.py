@@ -238,9 +238,13 @@ def extract_payload(
             text = PPT_LEGACY_LITERAL
             logs.append("Legacy PPT format detected, limited extraction support")
         elif file_type == "xls":
-            # reference utils/file_handlers.py:870-872
-            text = XLS_LEGACY_LITERAL
-            logs.append("All spreadsheet extraction methods failed")
+            # reference utils/file_handlers.py:808-829 (pandas path framing,
+            # re-expressed as a hand-rolled CFB+BIFF8 walk; the reference
+            # literal :870-872 remains the parse-failure path)
+            from .xls_kernel import extract_xls
+
+            text, k_logs = extract_xls(payload or b"")
+            logs.extend(k_logs)
         elif file_type == "msg":
             # reference utils/file_handlers.py:1255-1257 (OLE parse stubbed)
             text = MSG_LITERAL

@@ -1,0 +1,237 @@
+"""Legacy .xls (BIFF8 inside an OLE2/CFB container) extraction — K-family
+kernel closing the round-1 gap (VERDICT.md item 6; reference
+utils/file_handlers.py:777-878 reads .xls via pandas/xlrd and emits
+``--- Sheet: name ---`` + pipe-separated rows; this kernel reproduces that
+framing with a hand-rolled parser, no libraries).
+
+Scope (documented limits — all misses fall into the error-containment
+literal, never a crash):
+- CFB v3, FAT sectors addressed by the header's 109 DIFAT slots (files up
+  to ~6.8 MB of FAT coverage; DIFAT chains raise → literal).
+- Streams in the regular FAT chain (Workbook streams are ≥ 4 KB in
+  practice; the mini-stream raises → literal).
+- BIFF8 records: SST / BOUNDSHEET / LABELSST / LABEL / NUMBER / RK / BOF /
+  EOF. SSTs spanning CONTINUE records raise → literal.
+
+The test corpus is produced by an INDEPENDENT writer
+(``sources.pages_gen.make_xls`` — own-writer≠parser principle, same as the
+PDF kernel pair).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .office_kernel import XLS_LEGACY_LITERAL
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_ENDOFCHAIN = 0xFFFFFFFE
+_FREESECT = 0xFFFFFFFF
+
+
+def _u16(b: bytes, o: int) -> int:
+    return struct.unpack_from("<H", b, o)[0]
+
+
+def _u32(b: bytes, o: int) -> int:
+    return struct.unpack_from("<I", b, o)[0]
+
+
+# ------------------------------------------------------------------ CFB
+
+
+def _cfb_stream(payload: bytes, names: tuple[str, ...]) -> bytes:
+    """Locate and return the bytes of the first directory stream whose name
+    is in ``names`` (the workbook stream is 'Workbook' in BIFF8, 'Book' in
+    BIFF5 files rewritten by some tools)."""
+    if len(payload) < 512 or payload[:8] != _CFB_MAGIC:
+        raise ValueError("not an OLE2 compound file")
+    sector_shift = _u16(payload, 30)
+    ssz = 1 << sector_shift
+    num_fat = _u32(payload, 44)
+    first_dir = _u32(payload, 48)
+    mini_cutoff = _u32(payload, 56)
+    first_difat = _u32(payload, 68)
+    if first_difat not in (_ENDOFCHAIN, _FREESECT, 0):
+        raise ValueError("DIFAT chains not supported")
+
+    def sector(n: int) -> bytes:
+        off = 512 + n * ssz
+        if off + ssz > len(payload):
+            raise ValueError(f"sector {n} out of range")
+        return payload[off : off + ssz]
+
+    fat: list[int] = []
+    for i in range(min(num_fat, 109)):
+        s = _u32(payload, 76 + 4 * i)
+        if s in (_FREESECT, _ENDOFCHAIN):
+            break
+        sec = sector(s)
+        fat.extend(struct.unpack(f"<{ssz // 4}I", sec))
+
+    def chain(start: int) -> list[int]:
+        out, cur = [], start
+        while cur not in (_ENDOFCHAIN, _FREESECT):
+            if cur >= len(fat) or len(out) > len(fat):
+                raise ValueError("broken FAT chain")
+            out.append(cur)
+            cur = fat[cur]
+        return out
+
+    dirdata = b"".join(sector(s) for s in chain(first_dir))
+    for off in range(0, len(dirdata) - 127, 128):
+        obj_type = dirdata[off + 66]
+        if obj_type != 2:  # stream objects only
+            continue
+        name_len = _u16(dirdata, off + 64)
+        if name_len < 2:
+            continue
+        name = dirdata[off : off + name_len - 2].decode("utf-16-le", "replace")
+        if name not in names:
+            continue
+        start = _u32(dirdata, off + 116)
+        size = _u32(dirdata, off + 120)
+        if size < mini_cutoff:
+            raise ValueError("mini-stream workbook not supported")
+        return b"".join(sector(s) for s in chain(start))[:size]
+    raise ValueError("no Workbook stream")
+
+
+# ----------------------------------------------------------------- BIFF8
+
+_BOF = 0x0809
+_EOF = 0x000A
+_SST = 0x00FC
+_BOUNDSHEET = 0x0085
+_LABELSST = 0x00FD
+_LABEL = 0x0204
+_NUMBER = 0x0203
+_RK = 0x027E
+_CONTINUE = 0x003C
+
+
+def _read_xl_unicode(b: bytes, o: int, short: bool = False) -> tuple[str, int]:
+    """XLUnicodeRichExtendedString (long cch) / ShortXLUnicodeString."""
+    if short:
+        cch = b[o]
+        o += 1
+    else:
+        cch = _u16(b, o)
+        o += 2
+    flags = b[o]
+    o += 1
+    crun = cext = 0
+    if flags & 0x08:
+        crun = _u16(b, o)
+        o += 2
+    if flags & 0x04:
+        cext = _u32(b, o)
+        o += 4
+    if flags & 0x01:  # fHighByte: UTF-16LE
+        s = b[o : o + 2 * cch].decode("utf-16-le", "replace")
+        o += 2 * cch
+    else:  # compressed: low bytes of UTF-16 code units
+        s = b[o : o + cch].decode("latin-1")
+        o += cch
+    o += 4 * crun + cext
+    return s, o
+
+
+def _fmt_num(v: float) -> str:
+    """Whole doubles print as ints (pandas/xlrd show 5.0 as '5.0' but the
+    reference pipes through to_csv which keeps pandas' repr; this kernel
+    normalizes whole numbers to ints — deterministic and
+    writer-mirrored)."""
+    return str(int(v)) if float(v).is_integer() and abs(v) < 1e15 else repr(float(v))
+
+
+def _decode_rk(raw: int) -> float:
+    val: float
+    if raw & 0x02:  # 30-bit signed integer
+        n = raw >> 2
+        if n & (1 << 29):
+            n -= 1 << 30
+        val = float(n)
+    else:  # high 30 bits of an IEEE double
+        val = struct.unpack("<d", struct.pack("<Q", (raw & 0xFFFFFFFC) << 32))[0]
+    return val / 100.0 if raw & 0x01 else val
+
+
+def _records(data: bytes, pos: int):
+    while pos + 4 <= len(data):
+        op, ln = struct.unpack_from("<HH", data, pos)
+        body = data[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        yield op, body
+        if op == _EOF:
+            return
+
+
+def _parse_workbook(data: bytes):
+    """→ (sst: list[str], bounds: list[(stream_pos, sheet_name)])."""
+    sst: list[str] = []
+    bounds: list[tuple[int, str]] = []
+    for op, body in _records(data, 0):
+        if op == _BOUNDSHEET:
+            name, _ = _read_xl_unicode(body, 6, short=True)
+            bounds.append((_u32(body, 0), name))
+        elif op == _SST:
+            unique = _u32(body, 4)
+            o = 8
+            for _ in range(unique):
+                if o >= len(body):
+                    raise ValueError("SST spans CONTINUE records")
+                s, o = _read_xl_unicode(body, o)
+                sst.append(s)
+        elif op == _CONTINUE:
+            raise ValueError("CONTINUE records not supported")
+    return sst, bounds
+
+
+def _parse_sheet(data: bytes, pos: int, sst: list[str]) -> dict[tuple[int, int], str]:
+    cells: dict[tuple[int, int], str] = {}
+    for op, body in _records(data, pos):
+        if op == _LABELSST:
+            rw, col, _ixfe, isst = struct.unpack_from("<HHHI", body)
+            cells[(rw, col)] = sst[isst] if isst < len(sst) else ""
+        elif op == _LABEL:
+            rw, col = struct.unpack_from("<HH", body)
+            s, _ = _read_xl_unicode(body, 6)
+            cells[(rw, col)] = s
+        elif op == _NUMBER:
+            rw, col, _ixfe = struct.unpack_from("<HHH", body)
+            (num,) = struct.unpack_from("<d", body, 6)
+            cells[(rw, col)] = _fmt_num(num)
+        elif op == _RK:
+            rw, col, _ixfe, raw = struct.unpack_from("<HHHI", body)
+            cells[(rw, col)] = _fmt_num(_decode_rk(raw))
+    return cells
+
+
+def extract_xls(payload: bytes) -> tuple[str, list[str]]:
+    """``--- Sheet: name ---`` + pipe-separated rows (the same framing as
+    extract_xlsx / the reference's pandas to_csv path, :808-829); the
+    reference literal on any parse failure (:870-872)."""
+    logs = ["Attempting XLS extraction (OLE2/CFB + BIFF8 record walk)"]
+    try:
+        data = _cfb_stream(payload, ("Workbook", "Book"))
+        sst, bounds = _parse_workbook(data)
+        sheet_texts = []
+        for stream_pos, name in bounds:
+            cells = _parse_sheet(data, stream_pos, sst)
+            lines = []
+            for rw in sorted({r for r, _ in cells}):
+                row_cols = sorted(c for r, c in cells if r == rw)
+                width = row_cols[-1] + 1
+                lines.append(
+                    "|".join(cells.get((rw, c), "") for c in range(width))
+                )
+            sheet_texts.append(f"--- Sheet: {name} ---\n" + "\n".join(lines) + "\n")
+        if not sheet_texts:
+            raise ValueError("no sheets")
+        logs.append(f"Successfully extracted data from {len(sheet_texts)} sheets")
+        return "\n\n".join(sheet_texts), logs
+    except Exception as e:
+        logs.append(f"XLS extraction failed: {e}")
+        logs.append("All spreadsheet extraction methods failed")
+        return XLS_LEGACY_LITERAL, logs

@@ -466,6 +466,133 @@ def _epub_doc(rng: random.Random) -> bytes:
     return _zip_fixed(entries)
 
 
+def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
+    """Minimal BIFF8 .xls writer: an OLE2/CFB v3 container holding one
+    'Workbook' stream (globals: BOF + BOUNDSHEETs + SST + EOF; per sheet:
+    BOF + LABELSST/NUMBER cells + EOF). INDEPENDENT of
+    ``kernels.xls_kernel`` (own-writer ≠ parser principle, like the PDF
+    pair): this builds records/containers from the spec, the kernel parses
+    them from the spec, and the goldens lock the meeting point.
+
+    ``sheets``: [(name, rows)] where each row is a list of str / int /
+    float cells. Strings must be latin-1-safe (the generator's word list
+    is ASCII). Deterministic: no timestamps, insertion-ordered SST.
+    """
+    import struct as _st
+
+    def rec(op: int, body: bytes) -> bytes:
+        return _st.pack("<HH", op, len(body)) + body
+
+    # shared-string table, insertion-ordered
+    strings: list[str] = []
+    sidx: dict[str, int] = {}
+    n_refs = 0
+    for _, rows in sheets:
+        for row in rows:
+            for v in row:
+                if isinstance(v, str):
+                    n_refs += 1
+                    if v not in sidx:
+                        sidx[v] = len(strings)
+                        strings.append(v)
+
+    bof_globals = rec(0x0809, _st.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bof_sheet = _st.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0)
+    sst_body = _st.pack("<II", n_refs, len(strings))
+    for s in strings:
+        sst_body += _st.pack("<HB", len(s), 0) + s.encode("latin-1")
+
+    sheet_blobs = []
+    for _name, rows in sheets:
+        cells = b""
+        for r, row in enumerate(rows):
+            for c, v in enumerate(row):
+                if isinstance(v, str):
+                    cells += rec(0x00FD, _st.pack("<HHHI", r, c, 0, sidx[v]))
+                else:
+                    cells += rec(0x0203, _st.pack("<HHHd", r, c, 0, float(v)))
+        sheet_blobs.append(rec(0x0809, bof_sheet) + cells + rec(0x000A, b""))
+
+    # globals size is position-dependent (BOUNDSHEET carries each sheet's
+    # absolute stream offset) but its own length is fixed once names are
+    # known — compute it, then lay the sheets out after it
+    def boundsheet(pos: int, name: str) -> bytes:
+        nb = name.encode("latin-1")
+        return rec(0x0085, _st.pack("<IHBB", pos, 0, len(nb), 0) + nb)
+
+    globals_len = (
+        len(bof_globals)
+        + sum(len(boundsheet(0, name)) for name, _ in sheets)
+        + len(rec(0x00FC, sst_body))
+        + 4  # EOF
+    )
+    positions = []
+    off = globals_len
+    for blob in sheet_blobs:
+        positions.append(off)
+        off += len(blob)
+    stream = (
+        bof_globals
+        + b"".join(boundsheet(p, name) for p, (name, _) in zip(positions, sheets))
+        + rec(0x00FC, sst_body)
+        + rec(0x000A, b"")
+        + b"".join(sheet_blobs)
+    )
+    return _cfb_container(stream)
+
+
+def _cfb_container(stream: bytes, name: str = "Workbook") -> bytes:
+    """Wrap ``stream`` in a single-stream OLE2/CFB v3 file. The stream is
+    padded to the 4096-byte mini cutoff so it lives in the regular FAT
+    (real Workbook streams always do); layout: sector 0 = FAT, 1 =
+    directory, 2.. = stream. One FAT sector bounds the file at ~63 KB —
+    plenty for synthetic pages."""
+    import struct as _st
+
+    size = max(len(stream), 4096)
+    stream = stream + b"\x00" * (size - len(stream))
+    n_sec = (size + 511) // 512
+    stream = stream + b"\x00" * (n_sec * 512 - size)
+    assert 2 + n_sec <= 128, "single-FAT-sector writer"
+
+    fat = [0xFFFFFFFF] * 128
+    fat[0] = 0xFFFFFFFD  # the FAT sector itself
+    fat[1] = 0xFFFFFFFE  # directory: single-sector chain
+    for i in range(n_sec - 1):
+        fat[2 + i] = 3 + i
+    fat[2 + n_sec - 1] = 0xFFFFFFFE
+
+    header = (
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+        + b"\x00" * 16  # clsid
+        + _st.pack("<HHHHH", 0x003E, 0x0003, 0xFFFE, 9, 6)  # ver/order/shifts
+        + b"\x00" * 6
+        + _st.pack("<IIII", 0, 1, 1, 0)  # ndir(v4), nfat, firstdir, trans
+        + _st.pack("<IIIII", 4096, 0xFFFFFFFE, 0, 0xFFFFFFFE, 0)  # minifat/difat
+        + _st.pack("<I", 0)  # DIFAT[0] = FAT at sector 0
+        + b"\xff" * (108 * 4)
+    )
+    assert len(header) == 512
+
+    def direntry(nm: str, typ: int, child: int, start: int, sz: int) -> bytes:
+        nb = nm.encode("utf-16-le") + b"\x00\x00"
+        return (
+            nb + b"\x00" * (64 - len(nb))
+            + _st.pack("<HBB", len(nb), typ, 1)
+            + _st.pack("<III", 0xFFFFFFFF, 0xFFFFFFFF, child)
+            + b"\x00" * 16  # clsid
+            + _st.pack("<I", 0) + b"\x00" * 16  # state, times
+            + _st.pack("<IQ", start, sz)
+        )
+
+    directory = (
+        direntry("Root Entry", 5, 1, 0xFFFFFFFE, 0)
+        + direntry(name, 2, 0xFFFFFFFF, 2, size)
+        + b"\x00" * 256
+    )
+    return header + _st.pack("<128I", *fat) + directory + stream
+
+
 _OFFICE_KINDS = ["docx", "pptx", "xlsx", "odt", "odp", "epub", "doc", "ppt", "xls", "msg"]
 
 
@@ -481,7 +608,25 @@ def _office_doc(rng: random.Random) -> tuple[bytes, str]:
         payload = _odf_doc(rng)
     elif kind == "epub":
         payload = _epub_doc(rng)
-    else:  # legacy OLE (doc/ppt/xls/msg) → reference literal branches
+    elif kind == "xls":  # real BIFF8 workbook (kernels/xls_kernel parses it)
+        n_sheets = rng.randint(1, 2)
+        payload = make_xls(
+            [
+                (
+                    f"Sheet{si}",
+                    [
+                        [
+                            (rng.choice(_WORDS) if rng.random() < 0.5
+                             else rng.randint(0, 9999))
+                            for _ in range(3)
+                        ]
+                        for _ in range(rng.randint(2, 10))
+                    ],
+                )
+                for si in range(1, n_sheets + 1)
+            ]
+        )
+    else:  # legacy OLE (doc/ppt/msg) → reference literal branches
         payload = b"\xd0\xcf\x11\xe0" + bytes(rng.getrandbits(8) for _ in range(64))
     if rng.random() < 0.03:  # corrupt zip → error-containment path (D2)
         payload = b"PK\x03\x04" + payload[4:20]
