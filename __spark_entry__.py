@@ -143,9 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings"), sim_threshold=0.8
         ),
         "s4_ivf_topk": lambda s, d: S.ivf_topk(_t(s, d, "embeddings")),
-        # --- multimodal plumbing (no SQL twin: binary UDF surface; driver
-        # records the weaker rows-only check, full semantics locked by
-        # tests/test_multimodal.py) ---
+        # --- multimodal plumbing. m1's header parse has a full byte-level
+        # DuckDB twin (_m1_oracle_sql); m2 (1→many frame sampling) stays
+        # rows-only, semantics locked by tests/test_multimodal.py ---
         "m1_media_metadata": lambda s, d: M.media_metadata(
             _pages_sample(s), payload_col="html"
         ),
@@ -330,6 +330,120 @@ def _lang_id_sql() -> str:
     )
 
 
+def _byte(i) -> str:
+    """1-based byte value of the m1 prefix, read from its hex string ``hx``
+    (DuckDB's BLOB supports neither substring nor slicing here; hex-string
+    arithmetic does the job)."""
+    if isinstance(i, int):
+        return f"('0x'||substr(hx,{2 * i - 1},2))::INT"
+    return f"('0x'||substr(hx,2*({i})-1,2))::INT"
+
+
+def _u16be(i) -> str:
+    return f"({_byte(i)} * 256 + {_byte(f'{i}+1' if isinstance(i, str) else i + 1)})"
+
+
+def _m1_oracle_sql(n: int = 500) -> str:
+    """Full-hash oracle for m1 (VERDICT.md item 10): the header-parse half
+    of media_metadata is deterministic and SQL-expressible, so DuckDB
+    re-derives format/width/height from RAW PAYLOAD BYTES — fixed-offset
+    fields for PNG/GIF/BMP and a recursive-CTE marker scan for JPEG that
+    mirrors kernels.image_kernel._jpeg_size step for step.
+
+    Input: a (url, prefix[64], n_bytes) parquet written HERE with pyarrow
+    straight from the index-pure page generator (no Spark involved) — the
+    same role the sf testdata parquet plays for every other oracle. 64
+    bytes covers every fixed-offset field and the corpus JPEGs' SOF0.
+    """
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from universal_text_extractor_spark.sources.pages_gen import make_page
+
+    build = pathlib.Path(__file__).resolve().parent / "build"
+    build.mkdir(exist_ok=True)
+    path = build / "m1_prefixes.parquet"
+    rows = [make_page(i) for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "url": [r["url"] for r in rows],
+                "prefix": [(r["html"] or b"")[:64] for r in rows],
+                "n_bytes": [len(r["html"] or b"") for r in rows],
+            },
+            schema=pa.schema(
+                [("url", pa.string()), ("prefix", pa.binary()), ("n_bytes", pa.int64())]
+            ),
+        ),
+        path,
+    )
+
+    is_png = (
+        "substr(hx,1,16) = '89504E470D0A1A0A' AND plen >= 24 "
+        "AND substr(hx,25,8) = '49484452'"
+    )
+    is_gif = (
+        "substr(hx,1,12) IN ('474946383761','474946383961') AND plen >= 10"
+    )
+    is_bmp = "substr(hx,1,4) = '424D' AND plen >= 26"
+    has_jpeg_magic = "substr(hx,1,6) = 'FFD8FF'"
+    # little-endian signed int32 at 1-based offset i
+    le32 = (
+        lambda i: f"(CASE WHEN {_byte(i + 3)} >= 128 THEN -4294967296 ELSE 0 END"
+        f" + {_byte(i)} + {_byte(i + 1)} * 256 + {_byte(i + 2)} * 65536"
+        f" + {_byte(i + 3)} * 16777216)"
+    )
+    u32be = (
+        lambda i: f"({_byte(i)} * 16777216 + {_byte(i + 1)} * 65536"
+        f" + {_byte(i + 2)} * 256 + {_byte(i + 3)})"
+    )
+    # the JPEG scan state machine (mirrors _jpeg_size: skip padding/markers,
+    # jump segments by length, stop at SOF0..SOF15 minus DHT/JPG/DAC)
+    marker = _byte("pos+1")
+    seglen = _u16be("pos+2")
+    sof = (
+        f"({_byte('pos')} = 255 AND {marker} BETWEEN 192 AND 207 "
+        f"AND {marker} NOT IN (196, 200, 204))"
+    )
+    return (
+        "WITH RECURSIVE "
+        f"p AS (SELECT url, hex(prefix) AS hx, n_bytes, octet_length(prefix) AS plen "
+        f"FROM read_parquet('{path}')), "
+        f"jp AS (SELECT * FROM p WHERE {has_jpeg_magic} "
+        f"AND NOT ({is_png}) AND NOT ({is_gif}) AND NOT ({is_bmp})), "
+        "scan(url, hx, plen, pos, it, h, w, done) AS ("
+        "  SELECT url, hx, plen, 3, 0, NULL::INT, NULL::INT, FALSE FROM jp "
+        "  UNION ALL "
+        "  SELECT url, hx, plen, "
+        f"   CASE WHEN {sof} THEN pos "
+        f"        WHEN {_byte('pos')} <> 255 THEN pos + 1 "
+        f"        WHEN {marker} IN (216, 1) OR {marker} BETWEEN 208 AND 215 THEN pos + 2 "
+        f"        ELSE pos + 2 + {seglen} END, "
+        "   it + 1, "
+        f"   CASE WHEN {sof} THEN {_u16be('pos+5')} END, "
+        f"   CASE WHEN {sof} THEN {_u16be('pos+7')} END, "
+        f"   {sof} "
+        "  FROM scan WHERE NOT done AND it < 64 AND pos + 9 <= plen), "
+        "jfound AS (SELECT url, max(h) AS h, max(w) AS w FROM scan WHERE done GROUP BY url) "
+        "SELECT p.url, "
+        f"CASE WHEN {is_png} THEN 'PNG' WHEN {is_gif} THEN 'GIF' "
+        f"WHEN {is_bmp} THEN 'BMP' WHEN jf.w IS NOT NULL THEN 'JPEG' "
+        "ELSE 'unknown' END AS format, "
+        f"CAST(CASE WHEN {is_png} THEN {u32be(17)} "
+        f"WHEN {is_gif} THEN {_byte(7)} + {_byte(8)} * 256 "
+        f"WHEN {is_bmp} THEN {le32(19)} "
+        "ELSE jf.w END AS INT) AS width, "
+        f"CAST(CASE WHEN {is_png} THEN {u32be(21)} "
+        f"WHEN {is_gif} THEN {_byte(9)} + {_byte(10)} * 256 "
+        f"WHEN {is_bmp} THEN abs({le32(23)}) "
+        "ELSE jf.h END AS INT) AS height, "
+        "CAST(p.n_bytes AS BIGINT) AS n_bytes "
+        "FROM p LEFT JOIN jfound jf USING (url)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     qsum = "sum(l_extendedprice * (1 - l_discount))"
     return {
@@ -509,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS inactive_customers FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
         ),
+        "m1_media_metadata": _m1_oracle_sql(),
         "t1_doc_profile": (
             "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "round(avg(n_chars), 2) AS avg_chars, "
