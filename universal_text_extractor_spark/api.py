@@ -1,0 +1,138 @@
+"""Thin single-document convenience API — the working re-expression of the
+reference's ``text_extractor_api.py`` surface (TextExtractor /
+extract_text / batch_extract; reference text_extractor_api.py:20-202).
+
+The reference wrapper is broken as written (SURVEY.md §3.2: it calls
+``extract_text_from_file(file_path, language=…, handwriting_mode=…)``,
+a signature that does not exist); this module keeps its CONTRACT — the
+same result-dict keys, the same error envelopes, the same convenience
+functions — on top of the kernels that the Spark pipeline and the pytest
+oracle already share, so single-doc results are byte-identical to
+pipeline rows for the same payload.
+
+Spark-world additions:
+- :meth:`TextExtractor.extract_from_bytes` — payloads are already bytes
+  columns here; no temp file needed.
+- :meth:`TextExtractor.extract_dataframe` — the distributed form:
+  delegates to the fused pipeline (one shuffle, Arrow-batched kernels).
+``batch_extract`` stays the reference's driver-side loop for a handful of
+local files; anything larger belongs on :meth:`extract_dataframe`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from .kernels.dispatch import (
+    BRANCH_FAMILIES,
+    SUPPORTED_FILE_TYPES,
+    detect_content_type,
+    extract_payload,
+)
+
+OCR_UNAVAILABLE_MSG = "OCR is not available. Please install pytesseract or easyocr."
+
+
+class TextExtractor:
+    """Reference-parity single-document API (text_extractor_api.py:20)."""
+
+    def __init__(self) -> None:
+        # this environment ships no OCR backend (SURVEY.md §7.2 non-goal);
+        # the flags mirror the reference's capability probe
+        self.ocr_available = False
+        self.ocr_backends: list[str] = []
+
+    def extract_from_bytes(self, name: str, payload: bytes) -> dict[str, Any]:
+        """Extract from an in-memory payload; ``name`` provides the
+        extension hint exactly like a url in the pipeline."""
+        try:
+            file_type = detect_content_type(name, payload)
+            text, ocr_used, success, error, _logs = extract_payload(
+                name, payload, file_type
+            )
+            return {
+                "success": success,
+                "text": text,
+                "file_type": file_type,
+                "ocr_used": ocr_used,
+                "error": error,
+            }
+        except Exception as e:  # same containment shape as the reference
+            return {
+                "success": False,
+                "error": str(e),
+                "text": "",
+                "file_type": None,
+                "ocr_used": False,
+            }
+
+    def extract_from_file(self, file_path: str) -> dict[str, Any]:
+        """Reference :30-78 contract, minus the OCR kwargs that have no
+        backend here."""
+        if not os.path.exists(file_path):
+            return {
+                "success": False,
+                "error": f"File not found: {file_path}",
+                "text": "",
+                "file_type": None,
+                "ocr_used": False,
+            }
+        with open(file_path, "rb") as f:
+            payload = f.read()
+        # full path, not basename: the shared extension rule anchors on a
+        # preceding '/' (URL_EXT_PATTERN), and a filesystem path satisfies
+        # it the same way a url does
+        return self.extract_from_bytes(os.path.abspath(file_path), payload)
+
+    def extract_from_image(self, image_path: str, **_kw) -> dict[str, Any]:
+        """Reference :80-128: without an OCR backend this is the
+        unavailable envelope (reference :95-102 — the exact branch the
+        reference takes in an OCR-less install)."""
+        return {
+            "success": False,
+            "error": OCR_UNAVAILABLE_MSG,
+            "text": "",
+            "file_type": "image",
+            "ocr_used": False,
+        }
+
+    def get_supported_formats(self) -> dict[str, Any]:
+        """Reference :131-140."""
+        return {
+            "documents": list(SUPPORTED_FILE_TYPES.keys()),
+            "images": list(BRANCH_FAMILIES.get("image", ())),
+            "ocr_available": self.ocr_available,
+            "ocr_backends": self.ocr_backends,
+        }
+
+    def batch_extract(self, file_paths: list[str]) -> dict[str, Any]:
+        """Reference :142-161 — keyed by basename, driver-side loop. For
+        corpus-scale input use :meth:`extract_dataframe` instead."""
+        return {
+            os.path.basename(p): self.extract_from_file(p) for p in file_paths
+        }
+
+    def extract_dataframe(self, pages_df, num_partitions: int | None = None):
+        """The distributed form: pages(url, html, …) → extracted rows via
+        the fused single-pass pipeline (byte-identical per url to the
+        single-doc methods above — both run kernels.dispatch)."""
+        from .operators.extract import extract_pages_fused
+
+        return extract_pages_fused(pages_df, num_partitions=num_partitions)
+
+
+def extract_text(file_path: str) -> str:
+    """Reference :163-182: string-or-raise convenience."""
+    result = TextExtractor().extract_from_file(file_path)
+    if result["success"]:
+        return result["text"]
+    raise Exception(f"Text extraction failed: {result['error']}")
+
+
+def extract_from_image(image_path: str) -> str:
+    """Reference :184-202."""
+    result = TextExtractor().extract_from_image(image_path)
+    if result["success"]:
+        return result["text"]
+    raise Exception(f"OCR extraction failed: {result['error']}")
