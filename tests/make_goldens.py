@@ -244,6 +244,13 @@ def fixtures() -> list[tuple[str, str, bytes]]:
     docs.append(("ppt_legacy", "https://hd.example.com/n/old.ppt", b"\xd0\xcf\x11\xe0old-ole-ppt"))
     docs.append(("xls_legacy", "https://hd.example.com/n/old.xls", b"\xd0\xcf\x11\xe0old-ole-xls"))
     docs.append(("msg_stub", "https://hd.example.com/n/mail.msg", b"\xd0\xcf\x11\xe0old-ole-msg"))
+    from universal_text_extractor_spark.sources.pages_gen import make_msg
+
+    docs.append((
+        "msg_basic", "https://hd.example.com/n/status.msg",
+        make_msg("Alice Chen <alice@example.com>", "bob@example.com",
+                 "Weekly status", "Hi Bob,\nAll systems nominal.\n\u2014 Alice"),
+    ))
     # real BIFF8 workbook from the independent writer (strings via SST,
     # ints and floats via NUMBER, two sheets, sparse row)
     from universal_text_extractor_spark.sources.pages_gen import make_xls

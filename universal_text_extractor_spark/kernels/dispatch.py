@@ -30,7 +30,6 @@ from .html_kernel import extract_html
 from .image_kernel import OCR_UNAVAILABLE_LITERAL, extract_image_metadata
 from .office_kernel import (
     DOC_LEGACY_LITERAL,
-    MSG_LITERAL,
     PPT_LEGACY_LITERAL,
     XLS_LEGACY_LITERAL,
     extract_docx,
@@ -67,8 +66,9 @@ for _e in ("htm",):
 for _e in ("jpg", "jpeg", "png", "tiff", "tif", "bmp", "gif", "webp", "heic", "heif"):
     EXT_TO_TYPE[_e] = "image"
 
-# Types with a real kernel; legacy binary formats (doc/ppt/xls/msg) emit the
-# reference's informative literals (reference :601, :769, :872, :1257).
+# Types with a real kernel. Of the legacy OLE formats, xls (BIFF8) and msg
+# (MAPI) now parse for real (kernels/xls_kernel.py, msg_kernel.py); doc/ppt
+# emit the reference's informative literals (reference :601, :769).
 IMPLEMENTED_TYPES = (
     "html", "xml", "txt", "pdf", "rtf", "csv", "eml", "image",
     "docx", "pptx", "xlsx", "ods", "odt", "odp", "epub",
@@ -246,9 +246,12 @@ def extract_payload(
             text, k_logs = extract_xls(payload or b"")
             logs.extend(k_logs)
         elif file_type == "msg":
-            # reference utils/file_handlers.py:1255-1257 (OLE parse stubbed)
-            text = MSG_LITERAL
-            logs.append("extract_msg library not available")
+            # reference utils/file_handlers.py:1231-1252 (extract_msg path,
+            # re-expressed as a CFB + MAPI-property-stream walk)
+            from .msg_kernel import extract_msg
+
+            text, k_logs = extract_msg(payload or b"")
+            logs.extend(k_logs)
         else:
             # unknown AND declared-but-stubbed office formats
             # (reference :250-253)

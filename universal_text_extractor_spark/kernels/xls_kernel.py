@@ -6,10 +6,8 @@ framing with a hand-rolled parser, no libraries).
 
 Scope (documented limits — all misses fall into the error-containment
 literal, never a crash):
-- CFB v3, FAT sectors addressed by the header's 109 DIFAT slots (files up
-  to ~6.8 MB of FAT coverage; DIFAT chains raise → literal).
-- Streams in the regular FAT chain (Workbook streams are ≥ 4 KB in
-  practice; the mini-stream raises → literal).
+- container limits per kernels/cfb.py (v3, header DIFAT; mini-stream
+  supported).
 - BIFF8 records: SST / BOUNDSHEET / LABELSST / LABEL / NUMBER / RK / BOF /
   EOF. SSTs spanning CONTINUE records raise → literal.
 
@@ -22,11 +20,8 @@ from __future__ import annotations
 
 import struct
 
+from .cfb import CfbFile
 from .office_kernel import XLS_LEGACY_LITERAL
-
-_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
-_ENDOFCHAIN = 0xFFFFFFFE
-_FREESECT = 0xFFFFFFFF
 
 
 def _u16(b: bytes, o: int) -> int:
@@ -35,66 +30,6 @@ def _u16(b: bytes, o: int) -> int:
 
 def _u32(b: bytes, o: int) -> int:
     return struct.unpack_from("<I", b, o)[0]
-
-
-# ------------------------------------------------------------------ CFB
-
-
-def _cfb_stream(payload: bytes, names: tuple[str, ...]) -> bytes:
-    """Locate and return the bytes of the first directory stream whose name
-    is in ``names`` (the workbook stream is 'Workbook' in BIFF8, 'Book' in
-    BIFF5 files rewritten by some tools)."""
-    if len(payload) < 512 or payload[:8] != _CFB_MAGIC:
-        raise ValueError("not an OLE2 compound file")
-    sector_shift = _u16(payload, 30)
-    ssz = 1 << sector_shift
-    num_fat = _u32(payload, 44)
-    first_dir = _u32(payload, 48)
-    mini_cutoff = _u32(payload, 56)
-    first_difat = _u32(payload, 68)
-    if first_difat not in (_ENDOFCHAIN, _FREESECT, 0):
-        raise ValueError("DIFAT chains not supported")
-
-    def sector(n: int) -> bytes:
-        off = 512 + n * ssz
-        if off + ssz > len(payload):
-            raise ValueError(f"sector {n} out of range")
-        return payload[off : off + ssz]
-
-    fat: list[int] = []
-    for i in range(min(num_fat, 109)):
-        s = _u32(payload, 76 + 4 * i)
-        if s in (_FREESECT, _ENDOFCHAIN):
-            break
-        sec = sector(s)
-        fat.extend(struct.unpack(f"<{ssz // 4}I", sec))
-
-    def chain(start: int) -> list[int]:
-        out, cur = [], start
-        while cur not in (_ENDOFCHAIN, _FREESECT):
-            if cur >= len(fat) or len(out) > len(fat):
-                raise ValueError("broken FAT chain")
-            out.append(cur)
-            cur = fat[cur]
-        return out
-
-    dirdata = b"".join(sector(s) for s in chain(first_dir))
-    for off in range(0, len(dirdata) - 127, 128):
-        obj_type = dirdata[off + 66]
-        if obj_type != 2:  # stream objects only
-            continue
-        name_len = _u16(dirdata, off + 64)
-        if name_len < 2:
-            continue
-        name = dirdata[off : off + name_len - 2].decode("utf-16-le", "replace")
-        if name not in names:
-            continue
-        start = _u32(dirdata, off + 116)
-        size = _u32(dirdata, off + 120)
-        if size < mini_cutoff:
-            raise ValueError("mini-stream workbook not supported")
-        return b"".join(sector(s) for s in chain(start))[:size]
-    raise ValueError("no Workbook stream")
 
 
 # ----------------------------------------------------------------- BIFF8
@@ -214,7 +149,7 @@ def extract_xls(payload: bytes) -> tuple[str, list[str]]:
     reference literal on any parse failure (:870-872)."""
     logs = ["Attempting XLS extraction (OLE2/CFB + BIFF8 record walk)"]
     try:
-        data = _cfb_stream(payload, ("Workbook", "Book"))
+        data = CfbFile(payload).stream("Workbook", "Book")
         sst, bounds = _parse_workbook(data)
         sheet_texts = []
         for stream_pos, name in bounds:

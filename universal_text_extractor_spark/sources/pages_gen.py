@@ -538,29 +538,79 @@ def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
         + rec(0x000A, b"")
         + b"".join(sheet_blobs)
     )
-    return _cfb_container(stream)
+    return _cfb_build({"Workbook": stream})
 
 
-def _cfb_container(stream: bytes, name: str = "Workbook") -> bytes:
-    """Wrap ``stream`` in a single-stream OLE2/CFB v3 file. The stream is
-    padded to the 4096-byte mini cutoff so it lives in the regular FAT
-    (real Workbook streams always do); layout: sector 0 = FAT, 1 =
-    directory, 2.. = stream. One FAT sector bounds the file at ~63 KB —
-    plenty for synthetic pages."""
+def make_msg(sender: str, to: str, subject: str, body: str) -> bytes:
+    """Minimal Outlook .msg writer: MAPI property streams
+    (``__substg1.0_PPPP001F``, UTF-16LE) inside a CFB container — the
+    properties ``kernels.msg_kernel`` surfaces (sender 0C1A, to 0E04,
+    subject 0037, body 1000). Small streams land in the mini-stream, per
+    spec, which exercises the reader's miniFAT path."""
+    enc = lambda s: s.encode("utf-16-le")  # noqa: E731
+    return _cfb_build({
+        "__substg1.0_0C1A001F": enc(sender),
+        "__substg1.0_0E04001F": enc(to),
+        "__substg1.0_0037001F": enc(subject),
+        "__substg1.0_1000001F": enc(body),
+    })
+
+
+def _cfb_build(streams: dict[str, bytes]) -> bytes:
+    """OLE2/CFB v3 writer (multi-stream): streams ≥ 4096 bytes get regular
+    FAT chains, smaller ones are packed into the root entry's mini-stream
+    with a miniFAT (64-byte mini sectors) — the spec's placement rule.
+    Layout: sector 0 = FAT, then directory, miniFAT, mini-stream, big
+    streams. One FAT sector bounds the file at ~63 KB — plenty for
+    synthetic pages. Independent of kernels/cfb.py (own writer ≠ parser).
+    Deterministic: no timestamps, dict-ordered directory."""
     import struct as _st
 
-    size = max(len(stream), 4096)
-    stream = stream + b"\x00" * (size - len(stream))
-    n_sec = (size + 511) // 512
-    stream = stream + b"\x00" * (n_sec * 512 - size)
-    assert 2 + n_sec <= 128, "single-FAT-sector writer"
+    CUTOFF, SSZ, MSZ = 4096, 512, 64
+    mini_blob = b""
+    mini_start: dict[str, int] = {}
+    minifat: list[int] = []
+    for n, d in streams.items():
+        if len(d) >= CUTOFF:
+            continue
+        nsec = max(1, (len(d) + MSZ - 1) // MSZ)
+        mini_start[n] = len(minifat)
+        minifat.extend(range(len(minifat) + 1, len(minifat) + nsec))
+        minifat.append(0xFFFFFFFE)
+        mini_blob += d + b"\x00" * (nsec * MSZ - len(d))
+
+    n_dir_sec = ((1 + len(streams)) * 128 + SSZ - 1) // SSZ
+    has_mini = bool(mini_start)
+    s_minifat = 1 + n_dir_sec if has_mini else None
+    s_mini0 = (s_minifat + 1) if has_mini else None
+    n_mini_sec = (len(mini_blob) + SSZ - 1) // SSZ
+    next_free = (s_mini0 + n_mini_sec) if has_mini else 1 + n_dir_sec
+
+    big_start: dict[str, int] = {}
+    fat_chains: list[tuple[int, int]] = []  # (start, nsec) regular chains
+    for n, d in streams.items():
+        if len(d) < CUTOFF:
+            continue
+        nsec = (len(d) + SSZ - 1) // SSZ
+        big_start[n] = next_free
+        fat_chains.append((next_free, nsec))
+        next_free += nsec
+    total = next_free
+    assert total <= 128, "single-FAT-sector writer"
 
     fat = [0xFFFFFFFF] * 128
     fat[0] = 0xFFFFFFFD  # the FAT sector itself
-    fat[1] = 0xFFFFFFFE  # directory: single-sector chain
-    for i in range(n_sec - 1):
-        fat[2 + i] = 3 + i
-    fat[2 + n_sec - 1] = 0xFFFFFFFE
+    for i in range(n_dir_sec):  # directory chain
+        fat[1 + i] = 2 + i if i < n_dir_sec - 1 else 0xFFFFFFFE
+    if has_mini:
+        fat[s_minifat] = 0xFFFFFFFE
+        for i in range(n_mini_sec):
+            fat[s_mini0 + i] = (
+                s_mini0 + i + 1 if i < n_mini_sec - 1 else 0xFFFFFFFE
+            )
+    for start, nsec in fat_chains:
+        for i in range(nsec):
+            fat[start + i] = start + i + 1 if i < nsec - 1 else 0xFFFFFFFE
 
     header = (
         b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -568,7 +618,14 @@ def _cfb_container(stream: bytes, name: str = "Workbook") -> bytes:
         + _st.pack("<HHHHH", 0x003E, 0x0003, 0xFFFE, 9, 6)  # ver/order/shifts
         + b"\x00" * 6
         + _st.pack("<IIII", 0, 1, 1, 0)  # ndir(v4), nfat, firstdir, trans
-        + _st.pack("<IIIII", 4096, 0xFFFFFFFE, 0, 0xFFFFFFFE, 0)  # minifat/difat
+        + _st.pack(
+            "<IIIII",
+            CUTOFF,
+            s_minifat if has_mini else 0xFFFFFFFE,
+            1 if has_mini else 0,
+            0xFFFFFFFE,
+            0,
+        )
         + _st.pack("<I", 0)  # DIFAT[0] = FAT at sector 0
         + b"\xff" * (108 * 4)
     )
@@ -585,12 +642,35 @@ def _cfb_container(stream: bytes, name: str = "Workbook") -> bytes:
             + _st.pack("<IQ", start, sz)
         )
 
-    directory = (
-        direntry("Root Entry", 5, 1, 0xFFFFFFFE, 0)
-        + direntry(name, 2, 0xFFFFFFFF, 2, size)
-        + b"\x00" * 256
+    entries = [
+        direntry(
+            "Root Entry", 5, 1 if streams else 0xFFFFFFFF,
+            s_mini0 if has_mini else 0xFFFFFFFE, len(mini_blob),
+        )
+    ]
+    for n, d in streams.items():
+        start = big_start[n] if len(d) >= CUTOFF else mini_start[n]
+        entries.append(direntry(n, 2, 0xFFFFFFFF, start, len(d)))
+    directory = b"".join(entries)
+    directory += b"\x00" * (n_dir_sec * SSZ - len(directory))
+
+    mini_padded = mini_blob + b"\x00" * (n_mini_sec * SSZ - len(mini_blob))
+    minifat_sec = b""
+    if has_mini:
+        mf = minifat + [0xFFFFFFFF] * (128 - len(minifat))
+        assert len(mf) == 128, "miniFAT exceeds one sector"
+        minifat_sec = _st.pack("<128I", *mf)
+
+    big_blob = b""
+    for n, d in streams.items():
+        if len(d) >= CUTOFF:
+            nsec = (len(d) + SSZ - 1) // SSZ
+            big_blob += d + b"\x00" * (nsec * SSZ - len(d))
+
+    return (
+        header + _st.pack("<128I", *fat) + directory
+        + minifat_sec + mini_padded + big_blob
     )
-    return header + _st.pack("<128I", *fat) + directory + stream
 
 
 _OFFICE_KINDS = ["docx", "pptx", "xlsx", "odt", "odp", "epub", "doc", "ppt", "xls", "msg"]
@@ -626,7 +706,14 @@ def _office_doc(rng: random.Random) -> tuple[bytes, str]:
                 for si in range(1, n_sheets + 1)
             ]
         )
-    else:  # legacy OLE (doc/ppt/msg) → reference literal branches
+    elif kind == "msg":  # real MAPI property streams (kernels/msg_kernel)
+        payload = make_msg(
+            f"{rng.choice(_WORDS)}@{rng.choice(_WORDS)}.com",
+            f"{rng.choice(_WORDS)}@{rng.choice(_WORDS)}.com",
+            _sentence(rng, 4)[:-1],
+            "\n".join(_paragraph(rng) for _ in range(rng.randint(1, 4))),
+        )
+    else:  # legacy OLE (doc/ppt) → reference literal branches
         payload = b"\xd0\xcf\x11\xe0" + bytes(rng.getrandbits(8) for _ in range(64))
     if rng.random() < 0.03:  # corrupt zip → error-containment path (D2)
         payload = b"PK\x03\x04" + payload[4:20]
