@@ -46,6 +46,15 @@ def _pages_sample(spark: SparkSession, n: int = 500) -> DataFrame:
     return generate_pages_df(spark, n, partitions=4)
 
 
+def _media_sample(spark: SparkSession, n: int = 200) -> DataFrame:
+    """Deterministic synthetic media table (real BMP/PNG pixel payloads:
+    document scans, rotated scans, photo noise, junk) for the K14-K16
+    preprocessing operators."""
+    from universal_text_extractor_spark.sources.pages_gen import generate_media_df
+
+    return generate_media_df(spark, n)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-(lang, source) corpus profile over documents."""
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
@@ -151,6 +160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "m2_frame_sample": lambda s, d: M.frame_sample(
             _pages_sample(s), payload_col="html"
+        ),
+        # K14-K16 over REAL decoded pixels (BMP/PNG) — rows-only like m2
+        # (pixel math is not SQL-expressible); semantics locked by
+        # tests/test_image_prep.py
+        "m3_image_prep_profile": lambda s, d: M.image_prep_profile(
+            _media_sample(s)
         ),
     }
 

@@ -1,0 +1,122 @@
+"""K14-K16 image preprocessing: writer↔decoder round-trips (BMP both
+orientations; PNG gray/RGB/RGBA across all five scanline filters),
+preprocessing-chain semantics, scanned-document classification,
+orientation detection, and the Spark operator surface."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from universal_text_extractor_spark.kernels.image_prep import (
+    binarize,
+    decode_image,
+    detect_orientation,
+    enhance_contrast,
+    is_scanned_document,
+    median3,
+    preprocess_image,
+    to_grayscale,
+)
+from universal_text_extractor_spark.sources.pages_gen import (
+    generate_media_df,
+    make_bmp,
+    make_document_image,
+    make_noise_image,
+    make_png,
+    _document_pixels,
+)
+
+RGB_ROWS = [[(x * 3 % 256, y * 5 % 256, (x + y) % 256) for x in range(13)] for y in range(7)]
+
+
+def test_bmp_round_trip_both_orientations():
+    want = np.array(RGB_ROWS, dtype=np.uint8)
+    for top_down in (False, True):
+        got = decode_image(make_bmp(RGB_ROWS, top_down=top_down))
+        assert got is not None and (got == want).all()
+
+
+def test_png_round_trip_all_filters_and_colortypes():
+    gray = [[(x * y) % 256 for x in range(9)] for y in range(11)]
+    got = decode_image(make_png(gray, "gray", filters=[y % 5 for y in range(11)]))
+    assert (got[:, :, 0] == np.array(gray, dtype=np.uint8)).all()
+    assert (got[:, :, 0] == got[:, :, 1]).all()  # gray replicated to RGB
+
+    got = decode_image(make_png(RGB_ROWS, "rgb", filters=[4, 3, 2, 1, 0, 4, 3]))
+    assert (got == np.array(RGB_ROWS, dtype=np.uint8)).all()
+
+    rgba = [[(1, 2, 3, 200), (250, 5, 6, 10)], [(7, 8, 9, 0), (10, 11, 12, 255)]]
+    got = decode_image(make_png(rgba, "rgba", filters=[4, 1]))
+    want = np.array([[p[:3] for p in r] for r in rgba], dtype=np.uint8)
+    assert (got == want).all()
+
+
+def test_decode_containment():
+    assert decode_image(b"") is None
+    assert decode_image(b"BM\x00trunc") is None
+    assert decode_image(b"\x89PNG\r\n\x1a\njunk") is None
+    assert decode_image(b"GIF89a\x00\x00") is None  # header-only format
+
+
+def test_preprocess_chain_semantics():
+    rng = random.Random(9)
+    payload = make_document_image(rng)
+    pp = preprocess_image(payload)
+    assert pp is not None and set(np.unique(pp)) <= {0, 255}  # binarized
+    ink = float((pp == 0).mean())
+    assert 0.02 < ink < 0.5  # text bands present, page mostly white
+    # unit steps
+    g = to_grayscale(np.array(RGB_ROWS, dtype=np.uint8))
+    assert g.dtype == np.uint8 and g.shape == (7, 13)
+    e = enhance_contrast(g, 1.5)
+    assert int(e.max()) - int(e.min()) >= int(g.max()) - int(g.min())
+    b = binarize(g, 130)
+    assert set(np.unique(b)) <= {0, 255}
+    m = median3(b)
+    assert m.shape == b.shape
+
+
+def test_scanned_document_classifier():
+    rng = random.Random(21)
+    assert is_scanned_document(make_document_image(rng)) is True
+    assert is_scanned_document(make_noise_image(rng)) is False
+    assert is_scanned_document(b"not an image") is False
+
+
+def test_orientation_detection():
+    rng = random.Random(33)
+    upright = make_document_image(rng, w=56, h=78, fmt="png")
+    assert detect_orientation(upright) == 0
+    # writer-side 90° rotation (pixel lists transposed before encoding)
+    rows = _document_pixels(random.Random(34), 56, 78)
+    rot = [[rows[y][x] for y in range(len(rows))] for x in range(len(rows[0]) - 1, -1, -1)]
+    got = detect_orientation(make_bmp(rot))
+    assert got in (90, 270) and got != 0
+    assert detect_orientation(b"junk") == 0
+
+
+def test_image_prep_profile_operator(spark):
+    from universal_text_extractor_spark.operators.multimodal import image_prep_profile
+
+    media = generate_media_df(spark, 80)
+    rows = {r["url"]: r for r in image_prep_profile(media).collect()}
+    assert len(rows) == 80
+    kinds = {u: u.split("/")[3] for u in rows}
+    for u, r in rows.items():
+        kind = kinds[u]
+        if kind == "junk":
+            assert r["decoded"] is False and r["orientation"] == 0
+        else:
+            assert r["decoded"] is True and r["width"] > 0
+    docs = [r for u, r in rows.items() if kinds[u] == "doc"]
+    rotated = [r for u, r in rows.items() if kinds[u] == "doc_rot"]
+    noise = [r for u, r in rows.items() if kinds[u] == "noise"]
+    assert docs and rotated and noise
+    # classifier separates scans from photos; orientation finds the rotation
+    assert all(r["is_scanned"] for r in docs)
+    assert not any(r["is_scanned"] for r in noise)
+    assert all(r["orientation"] == 0 for r in docs)
+    assert all(r["orientation"] in (90, 270) for r in rotated)
+    assert all(0.02 < r["ink_ratio"] < 0.5 for r in docs)

@@ -41,6 +41,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -254,3 +256,61 @@ def audio_features(
         F.col(url_col).alias("url"),
         _audio_features_udf(F.col(payload_col)).alias("features"),
     )
+
+
+# --- K14-K16: REAL image preprocessing (kernels/image_prep.py) -------------
+
+PREP_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("decoded", BooleanType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ink_ratio", DoubleType()),
+        StructField("is_scanned", BooleanType()),
+        StructField("orientation", IntegerType()),
+    ]
+)
+
+
+def image_prep_profile(
+    df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """K14-K16 in ONE Arrow-batched pass over an opaque media column —
+    unlike the stubbed feature/resize operators above, this decodes REAL
+    pixels (BMP/PNG, kernels/image_prep.py): the reference's preprocessing
+    chain (grayscale → contrast → threshold → median) yields ``ink_ratio``
+    (share of ink pixels in the binarized page), the scanned-document
+    classifier yields ``is_scanned``, and the orientation detector yields
+    the best 90° rotation. Undecodable payloads → decoded=false row
+    (containment, not a dropped row). Embarrassingly parallel — runs on
+    the input's partitioning, numpy per batch, no shuffle."""
+    from ..kernels.image_prep import (
+        decode_image,
+        detect_orientation,
+        is_scanned_document,
+        preprocess_image,
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for u, p in zip(pdf[url_col], pdf[payload_col]):
+                b = p or b""
+                arr = decode_image(b)
+                if arr is None or arr.size == 0:
+                    rows.append((u, False, None, None, None, False, 0))
+                    continue
+                h, w = arr.shape[:2]
+                pp = preprocess_image(b)
+                ink = round(float((pp == 0).mean()), 6) if pp is not None else None
+                rows.append(
+                    (
+                        u, True, int(w), int(h), ink,
+                        bool(is_scanned_document(b)),
+                        int(detect_orientation(b)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PREP_SCHEMA.fields])
+
+    return df.select(url_col, payload_col).mapInPandas(run, PREP_SCHEMA)

@@ -317,6 +317,181 @@ def _eml_doc(rng: random.Random) -> bytes:
     return "".join(parts).encode("utf-8")
 
 
+def make_bmp(pixels: list[list[tuple[int, int, int]]], top_down: bool = False) -> bytes:
+    """24bpp BI_RGB BMP writer (spec-based, independent of
+    kernels/image_prep.py's decoder). ``pixels`` is rows of (r, g, b),
+    row 0 = top."""
+    import struct as _st
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in (pixels if top_down else reversed(pixels)):
+        rb = bytearray()
+        for r, g, b in row:
+            rb += bytes((b, g, r))
+        rb += b"\x00" * (stride - len(rb))
+        body += rb
+    data_off = 14 + 40
+    header = b"BM" + _st.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    dib = _st.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return header + dib + bytes(body)
+
+
+def make_png(
+    pixels: list[list], color: str = "rgb", filters: list[int] | None = None
+) -> bytes:
+    """Non-interlaced 8-bit PNG writer with per-row scanline filters
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth — the full spec set, forward
+    transform; the kernel decoder implements the inverse). ``pixels`` is
+    rows of (r,g,b) / (r,g,b,a) tuples or gray ints; ``filters`` picks the
+    filter per row (default all 0)."""
+    import struct as _st
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    ctype, nch = {"gray": (0, 1), "rgb": (2, 3), "rgba": (6, 4)}[color]
+
+    def flat(row):
+        out = bytearray()
+        for px in row:
+            out += bytes(px if isinstance(px, (tuple, list)) else (px,))
+        return bytes(out)
+
+    raws = [flat(r) for r in pixels]
+    filters = filters or [0] * h
+    scan = bytearray()
+    prior = b"\x00" * (w * nch)
+    for y, cur in enumerate(raws):
+        ft = filters[y]
+        enc = bytearray()
+        for x in range(len(cur)):
+            a = cur[x - nch] if x >= nch else 0
+            b = prior[x]
+            c = prior[x - nch] if x >= nch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc.append((cur[x] - pred) & 0xFF)
+        scan += bytes([ft]) + bytes(enc)
+        prior = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return _st.pack(">I", len(data)) + body + _st.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = _st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _document_pixels(rng: random.Random, w: int, h: int) -> list[list]:
+    """Synthetic 'scanned page' pixels: white background, dark horizontal
+    text bands (2-px line every 8 rows with ragged right margins) — the
+    shape K15/K16 classify. Paper-ish aspect (w/h ≈ 0.72)."""
+    rows = []
+    for y in range(h):
+        band = 6 <= (y % 8) <= 7
+        width_used = int(w * (0.55 + 0.4 * rng.random())) if band else 0
+        row = []
+        for x in range(w):
+            ink = band and 3 <= x < width_used
+            v = rng.randint(10, 60) if ink else rng.randint(235, 255)
+            row.append((v, v, v))
+        rows.append(row)
+    return rows
+
+
+def make_document_image(
+    rng: random.Random, w: int = 64, h: int = 88, fmt: str = "png"
+) -> bytes:
+    rows = _document_pixels(rng, w, h)
+    if fmt == "bmp":
+        return make_bmp(rows, top_down=rng.random() < 0.5)
+    filters = [rng.choice([0, 1, 2, 3, 4]) for _ in range(h)]
+    return make_png(rows, "rgb", filters)
+
+
+def make_noise_image(rng: random.Random, w: int = 60, h: int = 40, fmt: str = "png") -> bytes:
+    """Photo-ish uniform noise — the negative class for K15."""
+    rows = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    if fmt == "bmp":
+        return make_bmp(rows)
+    return make_png(rows, "rgb")
+
+
+def make_media_row(i: int, seed: int = _SEED_DEFAULT) -> dict:
+    """Row *i* of the synthetic media table — index-pure like
+    :func:`make_page`. Mix: document scans (upright + writer-rotated),
+    photo noise, and undecodable junk (the containment path)."""
+    rng = random.Random(f"{seed}:media:{i}")
+    fmt = rng.choice(["png", "bmp"])
+    u = rng.random()
+    if u < 0.45:
+        kind = "doc"
+        # paper-like aspect (the K15 window): w/h ∈ [0.66, 0.74]
+        h = rng.randint(66, 100)
+        w = int(h * (0.66 + 0.08 * rng.random()))
+        payload = make_document_image(rng, w=w, h=h, fmt=fmt)
+    elif u < 0.55:
+        kind = "doc_rot"
+        # writer-side 90° rotation of the pixel lists before encoding
+        # (no kernel code involved — own writer ≠ parser)
+        rows = _document_pixels(rng, 56, 78)
+        rot = [
+            [rows[y][x] for y in range(len(rows))]
+            for x in range(len(rows[0]) - 1, -1, -1)
+        ]
+        payload = make_bmp(rot) if fmt == "bmp" else make_png(rot, "rgb")
+    elif u < 0.9:
+        kind = "noise"
+        payload = make_noise_image(
+            rng, w=rng.randint(30, 90), h=rng.randint(30, 90), fmt=fmt
+        )
+    else:
+        kind = "junk"
+        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(8, 120)))
+    return {
+        "url": f"https://media.example.com/{kind}/{i}.{fmt}",
+        "payload": payload,
+        "kind": kind,
+    }
+
+
+MEDIA_SCHEMA = "url string, payload binary, kind string"
+
+
+def generate_media_df(spark, n: int, seed: int = _SEED_DEFAULT):
+    """Deterministic media table for the K14-K16 operators (small n —
+    driver-built; the operators themselves are partition-parallel)."""
+    rows = [make_media_row(i, seed) for i in range(n)]
+    return spark.createDataFrame(
+        [(r["url"], r["payload"], r["kind"]) for r in rows], MEDIA_SCHEMA
+    )
+
+
 def _image_doc(rng: random.Random) -> bytes:
     import struct as _struct
 
