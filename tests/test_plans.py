@@ -128,3 +128,30 @@ def test_dd4_minhash_no_python_and_partial_agg(spark):
     plan = _plan(spark, "dd4_minhash_lsh_pairs")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert "partial_min" in plan, plan
+
+
+def test_dd6_simhash_pairs_no_python_partial_agg(spark):
+    """Banded simhash pairs: JVM-side end to end, bit-sign sums partial-
+    aggregated map-side before the shuffle."""
+    plan = _plan(spark, "dd6_simhash_near_pairs")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_s1_two_stage_topk(spark):
+    """brute_force_topk must rank in two stages: a (query_id, partition)
+    local prune before the per-query global window — never a single
+    window that sorts a query's full candidate list in one task."""
+    plan = _plan(spark, "s1_brute_force_topk")
+    # two window nodes: local (query_id, _p) then final (query_id)
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2, plan
+    assert "SPARK_PARTITION_ID" in plan or "_p" in plan, plan
+
+
+def test_dd3_self_join_reuses_window_exchange(spark):
+    """dd3's doc-frequency cap is a window over the shingle key and the
+    per-doc counts join onto the small pair aggregate — so the shingle
+    table is shuffled ONCE and both self-join sides (and the counts
+    branch) read it as ReusedExchange instead of re-shuffling."""
+    plan = _plan(spark, "dd3_ngram_jaccard_pairs")
+    assert plan.count("ReusedExchange") >= 2, plan

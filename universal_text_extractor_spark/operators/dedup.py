@@ -136,9 +136,13 @@ def ngram_jaccard_pairs(
     ≤ cap × (total shingle rows) — linear in corpus size at a fixed cap.
     Jaccard is computed over the capped shingle universe on BOTH sides
     (|∩| and the per-doc counts), mirrored exactly in the DuckDB oracle.
-    The doc-frequency count is a window over the shingle key, so the
-    subsequent self-join reuses the same hash partitioning — one shuffle,
-    not two."""
+
+    Plan shape: the doc-frequency cap is a window over the shingle key, so
+    both sides of the self-join arrive already partitioned/sorted on
+    shingle (one exchange, reused); the per-doc counts are joined onto the
+    SMALL (doc_a, doc_b, |∩|) aggregate afterwards, not onto every shingle
+    row beforehand (the earlier shape re-shuffled the full shingle table
+    to doc_id and back)."""
     from pyspark.sql.window import Window
 
     flat = _shingles_flat(documents)
@@ -147,26 +151,27 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") <= max_doc_freq)
         .drop("df")
     )
-    ex = kept.join(_shingle_counts(kept), "doc_id")
-    a = ex.alias("a")
-    b = ex.alias("b")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.n_shingles").alias("nb"),
-        )
+        a.join(b, (a["shingle"] == b["shingle"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
+    )
+    counts = _shingle_counts(kept)
+    joined = (
+        inter.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")),
+            "doc_b",
+        )
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        joined.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
