@@ -295,11 +295,7 @@ def _write_baseline_md(result: dict) -> None:
         "one fixed disk while a k-executor cluster has k disks — RAM-backed "
         "shuffle restores the bandwidth-scales-with-executors property the "
         "north rule assumes.",
-        "- The filter+union branch plan (north-star architecture) is "
-        "measured once at the high level: its branch fan-out re-reads the "
-        "repartitioned base once per branch (~5x shuffle-read "
-        "amplification), which is why the fused single-pass dispatch is "
-        "the production path at both sandbox and cluster scale.",
+        '- The filter+union branch plan (north-star architecture) is measured once at the high level, at ITS best configuration (persist_base=True: the repartitioned base is materialized so the branch fan-out reads node-local cache instead of re-reading the shuffle ~5x). Even so the fused single-pass dispatch wins — one pass, no cache materialization cost — and is the production path at both sandbox and cluster scale.',
         "",
         "## Headline query times (seconds)",
         "",
