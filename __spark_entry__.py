@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_ordered_scan": lambda s, d: A.ordered_scan(_t(s, d, "events")),
         "a12_per_user_activity": lambda s, d: A.per_user_activity(_t(s, d, "events")),
         "d6_retention_filter": lambda s, d: A.retention_filter(_t(s, d, "events")),
+        "w5_user_sessions": lambda s, d: A.user_sessions(_t(s, d, "events")),
         # --- relational breadth (TPC-H-ish) ---
         "q1_pricing_summary": lambda s, d: Q.q1_pricing_summary(_t(s, d, "lineitem")),
         "q3_shipping_priority": lambda s, d: Q.q3_shipping_priority(
@@ -463,6 +464,21 @@ def oracle_sql() -> dict[str, str]:
     qsum = "sum(l_extendedprice * (1 - l_discount))"
     return {
         "a1_total_count": "SELECT CAST(COUNT(*) AS BIGINT) AS total_processed FROM events",
+        # gaps-and-islands twin of F.session_window: a session breaks when
+        # the gap to the previous event is > 30 min; end = last event + gap
+        "w5_user_sessions": (
+            "WITH o AS (SELECT user_id, ts, value, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+            "f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS new_s FROM o), "
+            "g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM f) "
+            "SELECT user_id, MIN(ts) AS session_start, "
+            "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "round(SUM(value), 2) AS session_value "
+            "FROM g GROUP BY user_id, sid"
+        ),
         "a2_conditional_counts": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS total_processed, "
             "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count, "

@@ -147,3 +147,32 @@ def per_user_activity(events: DataFrame) -> DataFrame:
             F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
         )
     )
+
+
+def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session-window aggregation (``F.session_window``): events of a user
+    closer than ``gap_minutes`` apart merge into one session; each session
+    row carries its start, its end (last event + gap — Spark's session
+    semantics), the event count, and the value sum. Not in the reference
+    (its analytics are fixed GROUP BYs) but first-class engine surface —
+    and, unlike most streaming-native windows, exactly SQL-expressible
+    (gaps-and-islands), so the DuckDB twin is a full hash check.
+
+    Scale: one shuffle on user_id; Spark merges sessions inside the
+    aggregation (no self-join, no window-sort over the whole table beyond
+    the per-user ordering the session merge needs)."""
+    gap = f"{gap_minutes} minutes"
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
