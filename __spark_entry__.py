@@ -259,7 +259,7 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
-def _simhash_near_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
+def _simhash_near_pairs_sql(bits: int = 32, max_hamming: int = 3) -> str:
     """Mirror of dedup.simhash_near_dup_pairs: SIMHASH_BANDS bands as the
     candidate join key, exact popcount verify."""
     bw = bits // D.SIMHASH_BANDS
@@ -718,7 +718,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dd4_minhash_lsh_pairs": _minhash_lsh_sql(0.2),
         "dd5_simhash_groups": _simhash_sql(16),
-        "dd6_simhash_near_pairs": _simhash_near_pairs_sql(16),
+        "dd6_simhash_near_pairs": _simhash_near_pairs_sql(32),
         "s1_brute_force_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings "
             "WHERE vec_id IN (0, 1, 2, 3, 4)), "

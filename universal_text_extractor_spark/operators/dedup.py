@@ -333,18 +333,24 @@ SIMHASH_BANDS = 4
 
 
 def simhash_near_dup_pairs(
-    documents: DataFrame, bits: int = 16, max_hamming: int = 3
+    documents: DataFrame, bits: int = 32, max_hamming: int = 3
 ) -> DataFrame:
     """SimHash near-duplicate pairs at hamming distance ≤ ``max_hamming``:
-    the 16-bit fingerprint is banded into SIMHASH_BANDS × (bits/bands)-bit
-    bands (the same LSH trick minhash_lsh_pairs uses), candidate pairs
-    share at least one intact band, and candidates are verified with the
-    exact popcount of the XOR. By pigeonhole, a pair within hamming ≤
+    the fingerprint is banded into SIMHASH_BANDS × (bits/bands)-bit bands
+    (the same LSH trick minhash_lsh_pairs uses), candidate pairs share at
+    least one intact band, and candidates are verified with the exact
+    popcount of the XOR. By pigeonhole, a pair within hamming ≤
     SIMHASH_BANDS − 1 (= 3) cannot corrupt every band, so recall is EXACT
     at the default — the banding is a pure candidate-pruning step, not an
     approximation. Sub-quadratic: the join key is (band, band-value), so
     candidate volume is per-bucket, never all-pairs.
-    Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+
+    Width matters for the pair volume: at 16 bits (the dd5 group width) a
+    RANDOM pair sits within hamming ≤ 3 with p ≈ 1.1% — 2.8M noise pairs
+    at 5k docs, a quadratic blow-up. 32 bits drops that to ~1.3e-6 (order
+    of the true near-dup count), and 8-bit band values keep the buckets
+    fine-grained; at production corpus sizes use 64 bits (same Spark
+    shape). Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
     band_width = bits // SIMHASH_BANDS
     mask = (1 << band_width) - 1
     fp = simhash_fingerprints(documents, bits)
