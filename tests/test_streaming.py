@@ -184,3 +184,55 @@ def test_host_running_totals_stateful(spark, tmp_path):
     ).collect()
     got = {r["host"]: (r["doc_count"], r["total_bytes"]) for r in rows}
     assert got == want
+
+
+def test_stream_sessions_merge_across_restart(spark, tmp_path):
+    """Session windows on a stream: a session left open in run 1 absorbs a
+    run-2 event inside the gap, and finalizes (append emit) only once the
+    watermark passes its end — one merged session row, not two."""
+    import datetime as dt
+
+    from universal_text_extractor_spark.streaming import stream_user_sessions
+
+    src = str(tmp_path / "sessrc")
+    ckpt = str(tmp_path / "sessckpt")
+    out = str(tmp_path / "sessout")
+
+    def _rows(items):
+        return spark.createDataFrame(
+            [(u, dt.datetime.fromisoformat(ts)) for u, ts in items],
+            "user_id string, ts timestamp",
+        )
+
+    def _run():
+        stream = spark.readStream.schema("user_id string, ts timestamp").parquet(src)
+        q = (
+            stream_user_sessions(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: two events 10 min apart (one session) + a mover that keeps the
+    # watermark (1 h) below the session end → stays open, nothing emits
+    _rows([("u1", "2026-01-02 10:00:00"), ("u1", "2026-01-02 10:10:00"),
+           ("u9", "2026-01-02 10:50:00")]).write.parquet(src)
+    _run()
+
+    # run 2 (restart): an event at 10:20 falls INSIDE u1's open session
+    # (gap 30 min from 10:10) and must merge; the far mover finalizes all
+    _rows([("u1", "2026-01-02 10:20:00"), ("u9", "2026-01-02 15:00:00")]).write.mode(
+        "append"
+    ).parquet(src)
+    _run()
+
+    got = {
+        (r["user_id"], r["session_start"].isoformat()): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got.get(("u1", "2026-01-02T10:00:00")) == 3, got  # merged, not split
+    assert ("u1", "2026-01-02T10:20:00") not in got  # no second u1 session

@@ -1,4 +1,4 @@
-from .stateful import host_running_totals, stream_dedup_urls
+from .stateful import host_running_totals, stream_dedup_urls, stream_user_sessions
 from .stream_extract import stream_extract_pages, windowed_metrics
 
 __all__ = [
@@ -6,4 +6,5 @@ __all__ = [
     "windowed_metrics",
     "stream_dedup_urls",
     "host_running_totals",
+    "stream_user_sessions",
 ]

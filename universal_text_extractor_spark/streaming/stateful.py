@@ -113,3 +113,26 @@ def host_running_totals(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_user_sessions(
+    events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming session windows (the incremental twin of
+    analytics.user_sessions): events of a user within ``gap`` merge into
+    one session whose state stays open across micro-batches AND restarts;
+    the watermark both bounds state and finalizes sessions (append mode
+    emits a session once the watermark passes its end). State per open
+    session is one small aggregate — bounded by the number of concurrently
+    open sessions inside the watermark horizon, not by history."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
