@@ -101,7 +101,10 @@ def test_metrics_and_retention(spark, tmp_path):
 def test_retention_crash_is_safe(spark, tmp_path):
     """Write-then-publish: a crash after the scratch write but before the
     publish leaves the live metrics table fully intact, and the retried
-    cleanup completes."""
+    cleanup completes. A crash BETWEEN the publish renames (live path
+    briefly absent) is recovered by the next invocation's preamble."""
+    import shutil
+
     pages = generate_pages_df(spark, 100, partitions=2)
     out = str(tmp_path / "retcrash")
     run_extraction(spark, pages, out, n_buckets=2, num_partitions=2)
@@ -109,7 +112,37 @@ def test_retention_crash_is_safe(spark, tmp_path):
     with pytest.raises(RuntimeError, match="injected crash"):
         retention_cleanup(spark, out, "2100-01-01 00:00:00", fail_before_publish=True)
     assert spark.read.parquet(f"{out}/metrics").count() == before  # untouched
-    assert retention_cleanup(spark, out, "2100-01-01 00:00:00") == before
+
+    # simulate the worst crash point: metrics renamed away, scratch not yet
+    # promoted (the state the reviewer's scenario leaves behind)
+    os.rename(f"{out}/metrics", f"{out}/metrics_old")
+    # next cleanup must first restore a live table, then do its delete —
+    # the scratch from the injected crash holds the post-delete (empty)
+    # table, so recovery promotes it and the delete-all is a no-op
+    assert retention_cleanup(spark, out, "2100-01-01 00:00:00") == 0
+    assert not os.path.exists(f"{out}/metrics_old")
+    # and with no committed scratch, the retired copy is restored instead
+    os.rename(f"{out}/metrics", f"{out}/metrics_old")
+    shutil.rmtree(f"{out}/metrics_tmp", ignore_errors=True)
+    assert retention_cleanup(spark, out, "2000-01-01 00:00:00") == 0
+    assert spark.read.parquet(f"{out}/metrics").count() == 0
+
+
+def test_bucket_count_change_is_refused(spark, tmp_path):
+    """Manifest and stage bucket ids are functions of n_buckets — resuming
+    the same out_dir with a different n would silently skip work, so the
+    pipeline pins n_buckets per out_dir and refuses a mismatch; resuming
+    with the pinned value completes normally."""
+    pages = generate_pages_df(spark, 200, partitions=2)
+    out = str(tmp_path / "nbchange")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(
+            spark, pages, out, n_buckets=8, num_partitions=2, fail_after_buckets=1
+        )
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        run_extraction(spark, pages, out, n_buckets=4, num_partitions=2)
+    run_extraction(spark, pages, out, n_buckets=8, num_partitions=2)
+    assert read_extracted(spark, out).select("url").distinct().count() == 200
 
 
 def test_export_sinks(spark, tmp_path):

@@ -31,7 +31,6 @@ from .image_kernel import OCR_UNAVAILABLE_LITERAL, extract_image_metadata
 from .office_kernel import (
     DOC_LEGACY_LITERAL,
     PPT_LEGACY_LITERAL,
-    XLS_LEGACY_LITERAL,
     extract_docx,
     extract_epub,
     extract_ods,

@@ -192,28 +192,30 @@ _DEFAULT_PARAMS = {
 }
 
 
+def preprocess_gray(gray: np.ndarray, params: dict | None = None) -> np.ndarray:
+    """K14 chain over an already-decoded luma array (callers that hold the
+    pixels — e.g. the m3 operator — decode/grayscale ONCE and fan out to
+    the array variants)."""
+    p = dict(_DEFAULT_PARAMS, **(params or {}))
+    img = gray
+    if p.get("enhance", True):
+        factor = p.get("contrast", 1.5)
+        if factor != 1.0:
+            img = enhance_contrast(img, factor)
+        if p.get("grayscale", True) and p.get("threshold") is not None:
+            img = binarize(img, p["threshold"])
+        if p.get("noise_reduction", True):
+            img = median3(img)
+    return img
+
+
 def preprocess_image(payload: bytes, params: dict | None = None) -> np.ndarray | None:
     """K14: the reference's default chain over a decoded payload.
     Returns the processed grayscale array, or None if undecodable."""
     rgb = decode_image(payload)
     if rgb is None or rgb.size == 0:
         return None
-    p = dict(_DEFAULT_PARAMS, **(params or {}))
-    img = rgb
-    if p.get("enhance", True):
-        if p.get("grayscale", True):
-            img = to_grayscale(img)
-        else:
-            img = to_grayscale(img)  # downstream steps operate on luma
-        factor = p.get("contrast", 1.5)
-        if factor != 1.0:
-            img = enhance_contrast(img, factor)
-        if p.get("grayscale", True) and p.get("threshold", None):
-            img = binarize(img, p["threshold"])
-        if p.get("noise_reduction", True):
-            img = median3(img)
-        return img
-    return to_grayscale(img)
+    return preprocess_gray(to_grayscale(rgb), params)
 
 
 # ---------------------------------------------------- K15 scanned-doc test
@@ -229,14 +231,9 @@ def _edge_density(gray: np.ndarray) -> float:
     return float(edges.mean()) if edges.size else 0.0
 
 
-def is_scanned_document(payload: bytes) -> bool:
-    """K15 (reference :137-195): paper-like aspect ratio AND predominantly
-    white background, OR moderate edge density (text regions)."""
-    gray_src = decode_image(payload)
-    if gray_src is None or gray_src.size == 0:
-        return False
-    h, w = gray_src.shape[:2]
-    gray = to_grayscale(gray_src)
+def is_scanned_gray(gray: np.ndarray) -> bool:
+    """K15 over an already-decoded luma array."""
+    h, w = gray.shape[:2]
     aspect = w / h
     is_document_size = 0.65 <= aspect <= 0.75 or 1.3 <= aspect <= 1.55
     white_pct = float((gray >= 200).mean())
@@ -244,6 +241,15 @@ def is_scanned_document(payload: bytes) -> bool:
     edge = _edge_density(gray)
     has_text_regions = 0.01 <= edge <= 0.1
     return (is_document_size and has_white_background) or has_text_regions
+
+
+def is_scanned_document(payload: bytes) -> bool:
+    """K15 (reference :137-195): paper-like aspect ratio AND predominantly
+    white background, OR moderate edge density (text regions)."""
+    rgb = decode_image(payload)
+    if rgb is None or rgb.size == 0:
+        return False
+    return is_scanned_gray(to_grayscale(rgb))
 
 
 # --------------------------------------------------- K16 orientation guess
@@ -256,6 +262,17 @@ def _row_profile_score(gray: np.ndarray) -> float:
     return float(ink.var())
 
 
+def detect_orientation_gray(gray: np.ndarray) -> int:
+    """K16 over an already-decoded luma array."""
+    best_angle, best = 0, -1.0
+    for angle in (0, 90, 180, 270):
+        rot = np.rot90(gray, k=angle // 90)
+        score = _row_profile_score(rot)
+        if score > best + 1e-12:
+            best, best_angle = score, angle
+    return best_angle
+
+
 def detect_orientation(payload: bytes) -> int:
     """K16 (reference :197-262): best of {0, 90, 180, 270} by the
     horizontal-structure score; 0 on undecodable input (the reference's
@@ -265,11 +282,4 @@ def detect_orientation(payload: bytes) -> int:
     rgb = decode_image(payload)
     if rgb is None or rgb.size == 0:
         return 0
-    gray = to_grayscale(rgb)
-    best_angle, best = 0, -1.0
-    for angle in (0, 90, 180, 270):
-        rot = np.rot90(gray, k=angle // 90)
-        score = _row_profile_score(rot)
-        if score > best + 1e-12:
-            best, best_angle = score, angle
-    return best_angle
+    return detect_orientation_gray(to_grayscale(rgb))

@@ -449,4 +449,3 @@ def extract_epub(payload: bytes) -> tuple[str, list[str]]:
         return f"[Error extracting EPUB text: {e}]", logs
 
 
-MSG_LITERAL = "[Could not extract text from MSG file. Required library not available.]"

@@ -141,7 +141,10 @@ def per_user_activity(events: DataFrame) -> DataFrame:
         events.groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # integer-cents sum — fold-order-proof across engines (w2 trick)
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
             F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
@@ -166,7 +169,12 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # integer-cents accumulation: double sums associate differently
+            # across engines/partial-agg orders and can flip the 2-dp round
+            # at x.xx5 (CLAUDE.md invariant; same trick as w2)
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+                "session_value"
+            ),
         )
         .select(
             "user_id",

@@ -351,6 +351,16 @@ def simhash_near_dup_pairs(
     of the true near-dup count), and 8-bit band values keep the buckets
     fine-grained; at production corpus sizes use 64 bits (same Spark
     shape). Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"recall is only exact for max_hamming <= {SIMHASH_BANDS - 1} "
+            f"(pigeonhole over {SIMHASH_BANDS} bands); got {max_hamming}"
+        )
+    if bits % SIMHASH_BANDS:
+        raise ValueError(
+            f"bits ({bits}) must divide evenly into {SIMHASH_BANDS} bands "
+            "or the top bits would never join any band key"
+        )
     band_width = bits // SIMHASH_BANDS
     mask = (1 << band_width) - 1
     fp = simhash_fingerprints(documents, bits)

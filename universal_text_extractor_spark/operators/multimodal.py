@@ -287,9 +287,10 @@ def image_prep_profile(
     the input's partitioning, numpy per batch, no shuffle."""
     from ..kernels.image_prep import (
         decode_image,
-        detect_orientation,
-        is_scanned_document,
-        preprocess_image,
+        detect_orientation_gray,
+        is_scanned_gray,
+        preprocess_gray,
+        to_grayscale,
     )
 
     def run(batches):
@@ -297,18 +298,19 @@ def image_prep_profile(
             rows = []
             for u, p in zip(pdf[url_col], pdf[payload_col]):
                 b = p or b""
-                arr = decode_image(b)
+                arr = decode_image(b)  # decode ONCE; fan out array variants
                 if arr is None or arr.size == 0:
                     rows.append((u, False, None, None, None, False, 0))
                     continue
                 h, w = arr.shape[:2]
-                pp = preprocess_image(b)
-                ink = round(float((pp == 0).mean()), 6) if pp is not None else None
+                gray = to_grayscale(arr)
+                pp = preprocess_gray(gray)
                 rows.append(
                     (
-                        u, True, int(w), int(h), ink,
-                        bool(is_scanned_document(b)),
-                        int(detect_orientation(b)),
+                        u, True, int(w), int(h),
+                        round(float((pp == 0).mean()), 6),
+                        bool(is_scanned_gray(gray)),
+                        int(detect_orientation_gray(gray)),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in PREP_SCHEMA.fields])

@@ -112,10 +112,32 @@ def run_extraction(
     """
     t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:12]
+    # bucket ids in the manifest AND the stage are functions of n_buckets:
+    # resuming the same out_dir with a different n would silently mis-cover
+    # (old manifest rows mark new ids done that were never extracted under
+    # the new numbering). Pin n_buckets per out_dir and refuse a mismatch.
+    meta = os.path.join(out_dir, "_n_buckets")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            pinned = int(f.read().strip())
+        if pinned != n_buckets:
+            raise ValueError(
+                f"out_dir was created with n_buckets={pinned}; resuming with "
+                f"{n_buckets} would silently skip work — pass n_buckets="
+                f"{pinned} or use a fresh out_dir"
+            )
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(meta, "w") as f:
+            f.write(str(n_buckets))
     done = set(committed_buckets(spark, out_dir))
     pending_buckets = [b for b in range(n_buckets) if b not in done]
+    staged_dir = _staged_path(out_dir)
 
     if not pending_buckets:  # completed run: pure manifest read, no input scan
+        # a crash after the final manifest commit but before stage cleanup
+        # would otherwise leave the orphan copy forever
+        shutil.rmtree(staged_dir, ignore_errors=True)
         return ExtractionRun(
             run_id=run_id,
             committed_buckets=[],
@@ -126,10 +148,11 @@ def run_extraction(
 
     # ONE scan of the input per run: stage the pages bucketed, written
     # partitionBy("bucket"), so each commit below reads only bucket=b via
-    # partition pruning. A crashed run's committed stage is reused (the
-    # already-done buckets are simply skipped); an uncommitted stage
-    # (_SUCCESS missing) is rebuilt.
-    staged_dir = _staged_path(out_dir)
+    # partition pruning. A crashed run's committed stage is reused (safe:
+    # n_buckets is pinned per out_dir above, and the pages INPUT is assumed
+    # immutable between crash and resume — the Iceberg-snapshot assumption
+    # the module docstring states); an uncommitted stage (_SUCCESS missing)
+    # is rebuilt.
     if not _staged_is_committed(staged_dir):
         pages.withColumn("bucket", _bucket_col(n_buckets)).write.mode(
             "overwrite"
@@ -196,16 +219,30 @@ def retention_cleanup(
     """D7/A10 retention delete (reference utils/database.py:583-621) on the
     metrics table. With Iceberg this is ``DELETE FROM metrics WHERE ts <
     cutoff``; the parquet fallback is write-then-publish: the kept rows are
-    fully written to a scratch dir BEFORE the live table is touched, so a
-    crash at any point leaves either the old table (scratch orphan is
-    overwritten next time) or both copies on disk — never neither
-    (crash-injection: tests/test_resume.py::test_retention_crash_is_safe).
+    fully written to a scratch dir BEFORE the live table is touched, so the
+    data always exists on disk under SOME name — and the recovery preamble
+    below restores the live path if a crash lands between the two publish
+    renames (scratch committed → promote it; otherwise restore the retired
+    copy). Crash-injection both before and mid-publish:
+    tests/test_resume.py::test_retention_crash_is_safe.
     Returns the deleted count (same observable semantics as the reference).
 
     Cost: one combined count scan + one filtered write (the old
     formulation ran three scans).
     """
     path = f"{out_dir}/metrics"
+    tmp = f"{out_dir}/metrics_tmp"
+    old = f"{out_dir}/metrics_old"
+    # crash recovery for an interrupted publish (between the two renames
+    # below the live path briefly does not exist): a fully-written scratch
+    # (_SUCCESS present) was the logically-committed post-delete table —
+    # promote it; otherwise restore the retired copy.
+    if not os.path.exists(path):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(old):
+            os.rename(old, path)
     df = spark.read.parquet(path)
     keep_cond = F.col("ts") >= F.lit(cutoff_ts).cast("timestamp")
     counts = df.agg(
@@ -215,8 +252,6 @@ def retention_cleanup(
     deleted = int(counts["n"]) - int(counts["kept"] or 0)
     if deleted == 0:
         return 0
-    tmp = f"{out_dir}/metrics_tmp"
-    old = f"{out_dir}/metrics_old"
     df.filter(keep_cond).write.mode("overwrite").parquet(tmp)
     if fail_before_publish:  # crash-injection hook for tests
         raise RuntimeError("injected crash before retention publish")
