@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_derived_rates": lambda s, d: A.derived_rates(_t(s, d, "events")),
         "a11_ordered_scan": lambda s, d: A.ordered_scan(_t(s, d, "events")),
         "a12_per_user_activity": lambda s, d: A.per_user_activity(_t(s, d, "events")),
+        "d4_point_lookup": lambda s, d: A.point_lookup(_t(s, d, "events")),
+        "d5_user_history": lambda s, d: A.user_history(_t(s, d, "events")),
         "d6_retention_filter": lambda s, d: A.retention_filter(_t(s, d, "events")),
         "w5_user_sessions": lambda s, d: A.user_sessions(_t(s, d, "events")),
         # --- relational breadth (TPC-H-ish) ---
@@ -464,6 +466,15 @@ def oracle_sql() -> dict[str, str]:
     qsum = "sum(l_extendedprice * (1 - l_discount))"
     return {
         "a1_total_count": "SELECT CAST(COUNT(*) AS BIGINT) AS total_processed FROM events",
+        "d4_point_lookup": (
+            "SELECT event_id, user_id, event_type, round(value, 2) AS value "
+            "FROM events WHERE event_id = 42"
+        ),
+        "d5_user_history": (
+            "SELECT event_id, ts, event_type, round(value, 2) AS value "
+            "FROM events WHERE user_id = 7 "
+            "ORDER BY ts DESC, event_id ASC LIMIT 20"
+        ),
         # gaps-and-islands twin of F.session_window: a session breaks when
         # the gap to the previous event is > 30 min; end = last event + gap
         "w5_user_sessions": (
@@ -476,7 +487,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, MIN(ts) AS session_start, "
             "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
-            "round(SUM(value), 2) AS session_value "
+            "SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS session_value "
             "FROM g GROUP BY user_id, sid"
         ),
         "a2_conditional_counts": (
@@ -520,7 +531,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a12_per_user_activity": (
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
-            "round(SUM(value), 2) AS total_value, MIN(ts) AS first_ts, MAX(ts) AS last_ts, "
+            "SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value, MIN(ts) AS first_ts, MAX(ts) AS last_ts, "
             "CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors "
             "FROM events GROUP BY user_id"
         ),

@@ -76,6 +76,17 @@ def test_no_forced_broadcast_of_scaling_tables():
     assert set(hinted) <= {"nation", "region", "avg_bal"}, hinted
 
 
+def test_d4_point_lookup_pushes_key(spark):
+    plan = _plan(spark, "d4_point_lookup")
+    assert "EqualTo(event_id,42)" in plan.replace(" ", ""), plan
+
+
+def test_d5_user_history_take_ordered_and_pushed(spark):
+    plan = _plan(spark, "d5_user_history")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EqualTo(user_id,7)" in plan.replace(" ", ""), plan
+
+
 def test_a5_topk_is_take_ordered(spark):
     plan = _plan(spark, "a5_top_event_types")
     assert "TakeOrderedAndProject" in plan, plan

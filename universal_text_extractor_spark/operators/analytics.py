@@ -121,6 +121,29 @@ def ordered_scan(events: DataFrame, limit: int = 100) -> DataFrame:
     return events.orderBy(F.desc("ts"), F.asc("event_id")).limit(limit)
 
 
+def point_lookup(events: DataFrame, event_id: int = 42) -> DataFrame:
+    """D4 (reference utils/database.py get-by-key): single-row equi-filter
+    on the key column. At scale this is the predicate-pushdown showcase on
+    the key — the filter reaches the parquet scan and row groups whose
+    statistics exclude the key are skipped entirely."""
+    return events.filter(F.col("event_id") == event_id).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+def user_history(events: DataFrame, user_id: int = 7, limit: int = 20) -> DataFrame:
+    """D5 (reference per-user log fetch, utils/database.py:445-470):
+    one user's most recent events, newest first. TakeOrderedAndProject on
+    a pushed-down user filter; total-order tiebreak on event_id so the
+    LIMIT set is deterministic."""
+    return (
+        events.filter(F.col("user_id") == user_id)
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .select("event_id", "ts", "event_type", F.round("value", 2).alias("value"))
+        .limit(limit)
+    )
+
+
 def retention_filter(events: DataFrame, cutoff: str = RETENTION_CUTOFF) -> DataFrame:
     """D6 (reference :539-581): rows older than the cutoff — the read side
     of retention cleanup (the DELETE itself is exercised on the pipeline's
