@@ -1,0 +1,97 @@
+"""Property-based round-trips (hypothesis) for the hand-rolled codec
+pairs: independent writer → kernel parser must reproduce the INPUT data
+exactly, with the expected text constructed straight from the inputs (not
+from any kernel code) — a second oracle besides the committed goldens."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from universal_text_extractor_spark.kernels.image_prep import decode_image
+from universal_text_extractor_spark.kernels.msg_kernel import extract_msg
+from universal_text_extractor_spark.kernels.xls_kernel import extract_xls
+from universal_text_extractor_spark.sources.pages_gen import (
+    make_bmp,
+    make_msg,
+    make_png,
+    make_xls,
+)
+
+_dims = st.tuples(st.integers(1, 24), st.integers(1, 24))  # (h, w)
+
+
+def _pixels(h, w, rng_draw):
+    return [[tuple(rng_draw.draw(st.integers(0, 255)) for _ in range(3)) for _ in range(w)] for _ in range(h)]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_bmp_roundtrip_random(data):
+    h, w = data.draw(_dims)
+    px = _pixels(h, w, data)
+    top_down = data.draw(st.booleans())
+    got = decode_image(make_bmp(px, top_down=top_down))
+    assert got is not None and (got == np.array(px, dtype=np.uint8)).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_png_roundtrip_random_filters(data):
+    h, w = data.draw(_dims)
+    px = _pixels(h, w, data)
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+    got = decode_image(make_png(px, "rgb", filters=filters))
+    assert got is not None and (got == np.array(px, dtype=np.uint8)).all()
+
+
+_cell = st.one_of(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0, max_size=12,
+    ),
+    st.integers(-9999, 9999),
+)
+_sheet_name = st.text(
+    alphabet=st.characters(min_codepoint=65, max_codepoint=90), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _sheet_name,
+            st.lists(st.lists(_cell, min_size=1, max_size=5), min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_xls_roundtrip_random(sheets):
+    text, logs = extract_xls(make_xls(sheets))
+    # expected framing built from the INPUT, independent of both sides
+    expected = "\n\n".join(
+        f"--- Sheet: {name} ---\n"
+        + "\n".join("|".join(str(v) for v in row) for row in rows)
+        + "\n"
+        for name, rows in sheets
+    )
+    assert text == expected, (text, expected)
+    assert logs[-1].startswith("Successfully extracted data from")
+
+
+_field = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_field, _field, _field, _field)
+def test_msg_roundtrip_random(sender, to, subject, body):
+    text, _logs = extract_msg(make_msg(sender, to, subject, body))
+    assert text == (
+        f"From: {sender}\nTo: {to}\nSubject: {subject}\nDate: None\n\n{body}"
+    )
