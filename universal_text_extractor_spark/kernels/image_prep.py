@@ -202,7 +202,11 @@ def preprocess_gray(gray: np.ndarray, params: dict | None = None) -> np.ndarray:
         factor = p.get("contrast", 1.5)
         if factor != 1.0:
             img = enhance_contrast(img, factor)
-        if p.get("grayscale", True) and p.get("threshold") is not None:
+        # truthiness deliberate: the reference's own gate is
+        # `params.get("threshold", None)` (utils/image_processing.py:100),
+        # so threshold=0 SKIPS binarization there too — fidelity over
+        # tidiness
+        if p.get("grayscale", True) and p.get("threshold", None):
             img = binarize(img, p["threshold"])
         if p.get("noise_reduction", True):
             img = median3(img)

@@ -117,20 +117,36 @@ def run_extraction(
     # (old manifest rows mark new ids done that were never extracted under
     # the new numbering). Pin n_buckets per out_dir and refuse a mismatch.
     meta = os.path.join(out_dir, "_n_buckets")
+    pinned: int | None = None
     if os.path.exists(meta):
-        with open(meta) as f:
-            pinned = int(f.read().strip())
-        if pinned != n_buckets:
-            raise ValueError(
-                f"out_dir was created with n_buckets={pinned}; resuming with "
-                f"{n_buckets} would silently skip work — pass n_buckets="
-                f"{pinned} or use a fresh out_dir"
-            )
-    else:
-        os.makedirs(out_dir, exist_ok=True)
-        with open(meta, "w") as f:
-            f.write(str(n_buckets))
+        try:
+            with open(meta) as f:
+                pinned = int(f.read().strip())
+        except ValueError:
+            pinned = None  # crash mid-write truncated the pin → re-pin below
+    if pinned is not None and pinned != n_buckets:
+        raise ValueError(
+            f"out_dir was created with n_buckets={pinned}; resuming with "
+            f"{n_buckets} would silently skip work — pass n_buckets="
+            f"{pinned} or use a fresh out_dir"
+        )
     done = set(committed_buckets(spark, out_dir))
+    if pinned is None:
+        # unpinned dir (fresh, truncated pin, or created pre-pinning): any
+        # manifest id >= n_buckets proves the dir was built under a larger
+        # bucket universe — refuse rather than silently mis-cover
+        if done and max(done) >= n_buckets:
+            raise ValueError(
+                f"out_dir has committed bucket ids up to {max(done)} but "
+                f"n_buckets={n_buckets}; it was created with a larger bucket "
+                "count — pass the original n_buckets or use a fresh out_dir"
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        # atomic pin: write-then-rename so a crash never leaves a truncated
+        # file that bricks every later resume
+        with open(meta + ".tmp", "w") as f:
+            f.write(str(n_buckets))
+        os.replace(meta + ".tmp", meta)
     pending_buckets = [b for b in range(n_buckets) if b not in done]
     staged_dir = _staged_path(out_dir)
 
@@ -240,9 +256,12 @@ def retention_cleanup(
     if not os.path.exists(path):
         if os.path.exists(os.path.join(tmp, "_SUCCESS")):
             os.rename(tmp, path)
-            shutil.rmtree(old, ignore_errors=True)
         elif os.path.exists(old):
             os.rename(old, path)
+    # with a live table, any remaining retired copy is garbage from a crash
+    # between promote and cleanup — drop it here so it cannot linger past
+    # deleted==0 early returns
+    shutil.rmtree(old, ignore_errors=True)
     df = spark.read.parquet(path)
     keep_cond = F.col("ts") >= F.lit(cutoff_ts).cast("timestamp")
     counts = df.agg(
