@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "dd2_exact_kept_count": lambda s, d: D.exact_dedup_keep(_t(s, d, "documents")),
+        "dd7_exact_purge": lambda s, d: D.exact_dedup_purge(_t(s, d, "documents")),
         "dd3_ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
             _t(s, d, "documents"), threshold=0.2
         ),
@@ -729,6 +730,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dd4_minhash_lsh_pairs": _minhash_lsh_sql(0.2),
         "dd5_simhash_groups": _simhash_sql(16),
+        "dd7_exact_purge": (
+            "WITH k AS (SELECT doc_id, "
+            + _H.format(
+                x="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+            )
+            + " AS text_key FROM documents), "
+            "m AS (SELECT MIN(doc_id) AS doc_id FROM k GROUP BY text_key) "
+            "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "
+            "WHERE EXISTS (SELECT 1 FROM m WHERE m.doc_id = d.doc_id)"
+        ),
         "dd6_simhash_near_pairs": _simhash_near_pairs_sql(32),
         "s1_brute_force_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings "

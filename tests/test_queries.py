@@ -108,3 +108,32 @@ def test_dedup_flat_equals_array(spark):
         for s in r["shingles"]
     }
     assert flat == arr
+
+
+def test_exact_purge_with_real_duplicates(spark, duck):
+    """dd7 on data that actually CONTAINS duplicates (the sf corpus has
+    none, which would make the oracle check vacuous for the grouping key):
+    whitespace/case variants collapse to one canonical doc in BOTH
+    engines."""
+    from universal_text_extractor_spark.operators import dedup as D
+
+    rows = [
+        (1, "en", "s0", 11, "Hello  World"),
+        (2, "en", "s0", 11, "hello world"),     # dup of 1 (case+ws)
+        (3, "fr", "s1", 5, "autre"),
+        (4, "en", "s2", 11, " hello   world "),  # dup of 1 (trim+ws)
+        (5, "fr", "s1", 6, "autre!"),            # NOT a dup of 3
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long, text string"
+    )
+    got = sorted(r["doc_id"] for r in D.exact_dedup_purge(df).collect())
+    assert got == [1, 3, 5]
+    # and the DuckDB twin agrees on the same in-memory table
+    duck.execute("CREATE OR REPLACE TABLE _dup_docs AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({i}, '{l}', '{s}', {n}, '{t.replace(chr(39), chr(39)*2)}')"
+                             for i, l, s, n, t in rows)
+                 + ") t(doc_id, lang, source, n_chars, text)")
+    sql = ORACLES["dd7_exact_purge"].replace("FROM documents", "FROM _dup_docs")
+    want = sorted(r[0] for r in duck.execute(sql).fetchall())
+    assert want == [1, 3, 5]

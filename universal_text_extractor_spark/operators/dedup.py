@@ -79,6 +79,25 @@ def exact_dedup_keep(documents: DataFrame) -> DataFrame:
     return kept.agg(F.count("*").alias("kept_count"))
 
 
+def exact_dedup_purge(documents: DataFrame) -> DataFrame:
+    """The purge itself (the operator a pipeline consumer actually runs):
+    the corpus minus non-canonical exact duplicates — every document whose
+    doc_id is the min of its normalized-text group. One hash aggregate on
+    the 8-byte key plus a LEFT SEMI join back (no row multiplication, no
+    document bytes through the second shuffle). Companion to the
+    report-side dd1/dd2."""
+    key = md5_long(normalized_text_col(F.col("text")))
+    kept_ids = (
+        documents.select("doc_id", key.alias("text_key"))
+        .groupBy("text_key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return documents.join(kept_ids, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def _shingled(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", shingles_col(F.col("text"), SHINGLE_K).alias("shingles")
