@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_doc_profile": lambda s, d: T.doc_profile(_t(s, d, "documents")),
         "t2_token_counts": lambda s, d: T.token_counts(_t(s, d, "documents")),
         "t3_quality_summary": lambda s, d: T.quality_summary(_t(s, d, "documents")),
+        "t6_quality_filter": lambda s, d: T.quality_filter(_t(s, d, "documents")),
         "t4_fingerprints": lambda s, d: T.fingerprints(_t(s, d, "documents")),
         "t5_language_id": lambda s, d: T.language_id(_t(s, d, "documents")),
         # --- dedup ---
@@ -684,6 +685,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "t3_quality_summary": _quality_summary_sql(),
+        "t6_quality_filter": (
+            "WITH sc AS (SELECT doc_id, lang, "
+            f"len({_words()}) AS n_tokens, "
+            "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE "
+            "/ greatest(length(text), 1), 4) AS alpha_ratio FROM documents) "
+            "SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, alpha_ratio "
+            "FROM sc WHERE alpha_ratio >= 0.81 AND n_tokens >= 15"
+        ),
         "t4_fingerprints": (
             "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents), "
             "g AS (SELECT doc_id, list_transform(generate_series(1, greatest(length(nt) - 4, 1), "

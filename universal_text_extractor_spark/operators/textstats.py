@@ -98,6 +98,36 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_filter(
+    documents: DataFrame,
+    min_alpha_ratio: float = 0.81,
+    min_tokens: int = 15,
+) -> DataFrame:
+    """The quality PURGE (companion to the t3 report — the operator a
+    training-data pipeline actually runs): keep documents whose
+    alphabetic-character ratio and token count clear the thresholds.
+    Language-agnostic signals only (length/punctuation class); the
+    stopword ratio stays a report metric because its list is
+    English-biased. Pure scan+filter — pushes to the source, no shuffle.
+    Returns (doc_id, lang, n_tokens, alpha_ratio)."""
+    from ..functions.text_funcs import token_count_col
+
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    ratio = F.round(
+        alpha / F.greatest(F.length("text"), F.lit(1)), 4
+    )
+    n_tok = token_count_col(F.col("text"))
+    return (
+        documents.select(
+            "doc_id", "lang", n_tok.alias("n_tokens"), ratio.alias("alpha_ratio")
+        )
+        .filter(
+            (F.col("alpha_ratio") >= min_alpha_ratio)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+    )
+
+
 def quality_summary(documents: DataFrame) -> DataFrame:
     """Corpus-level quality profile per lang. Stopword counting is the flat
     explode+InSet formulation (see language_id) instead of
