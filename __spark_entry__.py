@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_derived_rates": lambda s, d: A.derived_rates(_t(s, d, "events")),
         "a11_ordered_scan": lambda s, d: A.ordered_scan(_t(s, d, "events")),
         "a12_per_user_activity": lambda s, d: A.per_user_activity(_t(s, d, "events")),
+        "a13_value_percentiles": lambda s, d: A.value_percentiles(_t(s, d, "events")),
         "d4_point_lookup": lambda s, d: A.point_lookup(_t(s, d, "events")),
         "d5_user_history": lambda s, d: A.user_history(_t(s, d, "events")),
         "d6_retention_filter": lambda s, d: A.retention_filter(_t(s, d, "events")),
@@ -468,6 +469,14 @@ def oracle_sql() -> dict[str, str]:
     qsum = "sum(l_extendedprice * (1 - l_discount))"
     return {
         "a1_total_count": "SELECT CAST(COUNT(*) AS BIGINT) AS total_processed FROM events",
+        "a13_value_percentiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.25), 6) AS p25, "
+            "round(quantile_cont(value, 0.50), 6) AS p50, "
+            "round(quantile_cont(value, 0.75), 6) AS p75, "
+            "round(quantile_cont(value, 0.95), 6) AS p95 "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
         "d4_point_lookup": (
             "SELECT event_id, user_id, event_type, round(value, 2) AS value "
             "FROM events WHERE event_id = 42"

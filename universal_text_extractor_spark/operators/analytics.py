@@ -121,6 +121,27 @@ def ordered_scan(events: DataFrame, limit: int = 100) -> DataFrame:
     return events.orderBy(F.desc("ts"), F.asc("event_id")).limit(limit)
 
 
+PERCENTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact per-group percentiles of value (linear interpolation — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the formula, so the
+    oracle is a full hash check). Exact percentiles sort within each group;
+    at 100 TB swap in ``percentile_approx`` (t-digest, mergeable map-side)
+    and drop the oracle to rows-only — the query shape is identical."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.percentile("value", p), 6).alias(f"p{int(p * 100)}")
+                for p in PERCENTILES
+            ]
+        )
+        .orderBy("event_type")
+    )
+
+
 def point_lookup(events: DataFrame, event_id: int = 42) -> DataFrame:
     """D4 (reference utils/database.py get-by-key): single-row equi-filter
     on the key column. At scale this is the predicate-pushdown showcase on
