@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from universal_text_extractor_spark.operators import analytics as A
+from universal_text_extractor_spark.operators import clustering as C
 from universal_text_extractor_spark.operators import dedup as D
 from universal_text_extractor_spark.operators import multimodal as M
 from universal_text_extractor_spark.operators import similarity as S
@@ -158,6 +159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings"), sim_threshold=0.8
         ),
         "s4_ivf_topk": lambda s, d: S.ivf_topk(_t(s, d, "embeddings")),
+        # iterative Lloyd's k-means (driver-loop iterations) — genuinely
+        # non-SQL-expressible per the brief; rows-only check, semantics
+        # locked by tests/test_clustering.py
+        "s5_kmeans_profile": lambda s, d: C.kmeans_cluster_profile(
+            _t(s, d, "embeddings")
+        ),
         # --- multimodal plumbing. m1's header parse has a full byte-level
         # DuckDB twin (_m1_oracle_sql); m2 (1→many frame sampling) stays
         # rows-only, semantics locked by tests/test_multimodal.py ---
