@@ -110,6 +110,8 @@ def test_image_prep_profile_operator(spark):
             assert r["decoded"] is False and r["orientation"] == 0
         else:
             assert r["decoded"] is True and r["width"] > 0
+            assert r["n_pix"] == r["width"] * r["height"]
+            assert 0 <= r["sum_gray"] <= 255 * r["n_pix"]
     docs = [r for u, r in rows.items() if kinds[u] == "doc"]
     rotated = [r for u, r in rows.items() if kinds[u] == "doc_rot"]
     noise = [r for u, r in rows.items() if kinds[u] == "noise"]
@@ -118,5 +120,44 @@ def test_image_prep_profile_operator(spark):
     assert all(r["is_scanned"] for r in docs)
     assert not any(r["is_scanned"] for r in noise)
     assert all(r["orientation"] == 0 for r in docs)
-    assert all(r["orientation"] in (90, 270) for r in rotated)
-    assert all(0.02 < r["ink_ratio"] < 0.5 for r in docs)
+    assert all(r["orientation"] == 90 for r in rotated)
+    assert all(0.02 < r["ink0"] / r["n_pix"] < 0.5 for r in docs)
+
+
+def test_media_generator_byte_stability():
+    """The media corpus is the m3 oracle's ground truth — pin its bytes so
+    a generator refactor can't silently shift what the oracle grades."""
+    import hashlib
+
+    from universal_text_extractor_spark.sources.pages_gen import make_media_row
+
+    h = hashlib.sha256()
+    for i in range(300):
+        r = make_media_row(i)
+        h.update(r["url"].encode())
+        h.update(r["payload"])
+    assert h.hexdigest() == (
+        "9e9c96f42ff8f7a9ea23d5afc1c09f42562077114c211dcf8aa003c085e611a0"
+    )
+
+
+def test_profile_scores_match_float_variance():
+    """The integer orientation scores must order rotations exactly like
+    the float row-density variance they replace (same sign, common
+    denominator h²w² — see profile_scores docstring)."""
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.image_prep import profile_scores
+
+    rng = random.Random(77)
+    for _ in range(20):
+        h, w = rng.randint(3, 40), rng.randint(3, 40)
+        gray = np.array(
+            [[rng.randrange(256) for _ in range(w)] for _ in range(h)], dtype=np.uint8
+        )
+        s_rows, s_cols = profile_scores(gray)
+        var_rows = float((gray < 128).mean(axis=1).var())
+        var_cols = float((np.rot90(gray) < 128).mean(axis=1).var())
+        # same ordering (float ties allowed to go either way within 1e-12)
+        if abs(var_rows - var_cols) > 1e-9:
+            assert (s_rows > s_cols) == (var_rows > var_cols)

@@ -55,15 +55,39 @@ def test_media_metadata(spark, media_df):
 
 
 def test_image_features_deterministic(spark, media_df):
-    a = {r["url"]: r["features"] for r in M.image_features(media_df).collect()}
+    a = {r["url"]: (r["decoded"], r["features"]) for r in M.image_features(media_df).collect()}
     b = {
-        r["url"]: r["features"]
+        r["url"]: (r["decoded"], r["features"])
         for r in M.image_features(media_df.repartition(7)).collect()
     }
     assert a == b  # partitioning-invariant
-    assert all(len(v) == M.IMAGE_FEATURE_DIM for v in a.values())
-    assert all(-1.0 <= x < 1.0 for v in a.values() for x in v)
-    assert a["u/png"] != a["u/gif"]
+    assert all(len(v) == M.IMAGE_FEATURE_DIM for _, v in a.values())
+    # header-only formats can't decode here → digest fallback, flagged
+    assert all(not dec for dec, _ in a.values())
+    assert a["u/png"][1] != a["u/gif"][1]
+
+
+def test_image_features_real_pixels(spark):
+    """Decodable payloads must yield REAL pixel features (width, height,
+    aspect, mean, std, ink/white fractions, edge density) — checked
+    against an independent recomputation from the writer's pixel rows."""
+    import numpy as np
+
+    from universal_text_extractor_spark.sources.pages_gen import make_bmp
+
+    rows_px = [[(x * 7 % 256, y * 11 % 256, (x * y) % 256) for x in range(20)] for y in range(10)]
+    df = spark.createDataFrame([("u/real", make_bmp(rows_px))], "url string, payload binary")
+    r = M.image_features(df).collect()[0]
+    assert r["decoded"] is True
+    f = r["features"]
+    assert (f[0], f[1]) == (20.0, 10.0) and abs(f[2] - 2.0) < 1e-6
+    gray = np.array(
+        [[(p[0] * 299 + p[1] * 587 + p[2] * 114) // 1000 for p in row] for row in rows_px],
+        dtype=np.uint8,
+    )
+    assert abs(f[3] - gray.mean()) < 1e-3
+    assert abs(f[5] - (gray < 128).mean()) < 1e-6
+    assert abs(f[6] - (gray >= 200).mean()) < 1e-6
 
 
 def test_image_resize_dims(spark, media_df):
@@ -78,6 +102,23 @@ def test_image_resize_dims(spark, media_df):
     # deterministic across runs
     again = {r["url"]: r for r in M.image_resize(media_df, max_side=64).collect()}
     assert out["u/gif"]["thumb"] == again["u/gif"]["thumb"]
+
+
+def test_image_resize_real_pixels(spark):
+    """A decodable BMP must produce a REAL nearest-neighbor grayscale
+    thumbnail (src index = dst·src_dim // dst_dim), not a digest."""
+    import numpy as np
+
+    from universal_text_extractor_spark.sources.pages_gen import make_bmp
+
+    rows_px = [[((x * 13) % 256,) * 3 for x in range(128)] for y in range(64)]
+    df = spark.createDataFrame([("u/big", make_bmp(rows_px))], "url string, payload binary")
+    r = M.image_resize(df, max_side=32).collect()[0]
+    assert (r["width"], r["height"]) == (32, 16)
+    gray = np.array([[p[0] for p in row] for row in rows_px], dtype=np.uint8)
+    ys = (np.arange(16) * 64) // 16
+    xs = (np.arange(32) * 128) // 32
+    assert bytes(r["thumb"]) == gray[np.ix_(ys, xs)].tobytes()
 
 
 def test_frame_sample_explode(spark):

@@ -225,14 +225,23 @@ def preprocess_image(payload: bytes, params: dict | None = None) -> np.ndarray |
 # ---------------------------------------------------- K15 scanned-doc test
 
 
-def _edge_density(gray: np.ndarray) -> float:
-    """Share of pixels with a strong local gradient — the numpy stand-in
-    for the reference's Canny edge density."""
+def edge_count(gray: np.ndarray) -> int:
+    """Number of interior pixels with a strong local gradient (right or
+    down neighbor differs by > 60) — the integer numerator of
+    :func:`_edge_density`, exposed for the oracle-checkable m3 profile."""
     g = gray.astype(np.int32)
     gx = np.abs(np.diff(g, axis=1))
     gy = np.abs(np.diff(g, axis=0))
     edges = (gx[:-1, :] > 60) | (gy[:, :-1] > 60)
-    return float(edges.mean()) if edges.size else 0.0
+    return int(edges.sum())
+
+
+def _edge_density(gray: np.ndarray) -> float:
+    """Share of pixels with a strong local gradient — the numpy stand-in
+    for the reference's Canny edge density."""
+    h, w = gray.shape[:2]
+    n = (h - 1) * (w - 1)
+    return edge_count(gray) / n if n > 0 else 0.0
 
 
 def is_scanned_gray(gray: np.ndarray) -> bool:
@@ -259,22 +268,35 @@ def is_scanned_document(payload: bytes) -> bool:
 # --------------------------------------------------- K16 orientation guess
 
 
-def _row_profile_score(gray: np.ndarray) -> float:
-    """Variance of per-row ink density. Correctly-oriented text stacks ink
-    into horizontal line bands → spiky row profile → high variance."""
-    ink = (gray < 128).mean(axis=1)
-    return float(ink.var())
+def profile_scores(gray: np.ndarray) -> tuple[int, int]:
+    """(S_rows, S_cols): INTEGER row-profile variance scores, directly
+    comparable across the 0°/90° rotations.
+
+    Derivation: for an (h, w) image with per-row ink counts c_y
+    (c_y = #{x : gray[y,x] < 128}), the row-density variance is
+    var(c/w) = (h·Σc² − (Σc)²) / (h²w²). The 90° rotation has per-row
+    counts equal to the original per-COLUMN counts d_x and variance
+    (w·Σd² − (Σd)²) / (w²h²) — the SAME denominator h²w², so the
+    comparison reduces to the integer numerators. Exact (no float
+    summation order), hence reproducible bit-for-bit in the DuckDB
+    oracle."""
+    ink = gray < 128
+    c = ink.sum(axis=1).astype(np.int64)
+    d = ink.sum(axis=0).astype(np.int64)
+    h, w = gray.shape[:2]
+    s_rows = h * int((c * c).sum()) - int(c.sum()) ** 2
+    s_cols = w * int((d * d).sum()) - int(d.sum()) ** 2
+    return s_rows, s_cols
 
 
 def detect_orientation_gray(gray: np.ndarray) -> int:
-    """K16 over an already-decoded luma array."""
-    best_angle, best = 0, -1.0
-    for angle in (0, 90, 180, 270):
-        rot = np.rot90(gray, k=angle // 90)
-        score = _row_profile_score(rot)
-        if score > best + 1e-12:
-            best, best_angle = score, angle
-    return best_angle
+    """K16 over an already-decoded luma array. Correctly-oriented text
+    stacks ink into horizontal line bands → spiky row profile → high
+    row-count variance. 0 vs 180 (and 90 vs 270) have identical row-count
+    multisets, so the detector resolves to {0, 90} — the smaller angle of
+    each profile-equivalent pair, matching the reference's tie behavior."""
+    s_rows, s_cols = profile_scores(gray)
+    return 0 if s_rows >= s_cols else 90
 
 
 def detect_orientation(payload: bytes) -> int:

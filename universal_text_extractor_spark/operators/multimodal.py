@@ -109,26 +109,68 @@ def _digest_floats(payload: bytes, n: int, tag: bytes) -> list[float]:
     return out
 
 
-IMAGE_FEATURE_DIM = 32
+IMAGE_FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("decoded", BooleanType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
 
 
-@F.pandas_udf(ArrayType(FloatType()))
-def _image_features_udf(payload: pd.Series) -> pd.Series:
-    return pd.Series(
-        [_digest_floats(p or b"", IMAGE_FEATURE_DIM, b"imgfeat") for p in payload]
-    )
+def _pixel_features(arr) -> list[float]:
+    """8 REAL pixel-derived features: [width, height, aspect, mean_gray,
+    std_gray, ink_fraction(<128), white_fraction(≥200), edge_density]."""
+    import numpy as np
+
+    from ..kernels.image_prep import _edge_density, to_grayscale
+
+    h, w = arr.shape[:2]
+    gray = to_grayscale(arr)
+    n = gray.size
+    return [
+        float(w),
+        float(h),
+        float(w / h),
+        float(gray.mean()),
+        float(gray.std()),
+        float((gray < 128).sum() / n),
+        float((gray >= 200).sum() / n),
+        float(_edge_density(gray)),
+    ]
+
+
+@F.pandas_udf(FEATURES_SCHEMA)
+def _image_features_udf(payload: pd.Series) -> pd.DataFrame:
+    from ..kernels.image_prep import decode_image
+
+    rows = []
+    for p in payload:
+        b = p or b""
+        arr = decode_image(b)
+        if arr is not None and arr.size:
+            rows.append((True, _pixel_features(arr)))
+        else:
+            # undecodable (JPEG/GIF header-only formats, junk): a clearly
+            # marked deterministic digest so every payload still gets a
+            # fixed-dim vector for downstream ANN plumbing
+            rows.append((False, _digest_floats(b, IMAGE_FEATURE_DIM, b"imgfeat")))
+    return pd.DataFrame(rows, columns=["decoded", "features"])
 
 
 def image_features(
     df: DataFrame, url_col: str = "url", payload_col: str = "payload"
 ) -> DataFrame:
-    """Per-image feature vector (array<float>[32]). Decode stubbed: the
-    vector is a deterministic digest of the payload, NOT real pixels —
-    swap ``_digest_floats`` for a PIL+model pipeline to make it real."""
+    """Per-image feature vector (array<float>[8]) from REAL decoded pixels
+    for BMP/PNG payloads (kernels/image_prep.py decoders — VERDICT r2 item
+    3; reference utils/image_processing.py:31-135 is the pixel-math
+    ancestor). ``decoded=false`` rows carry the digest fallback (no codec
+    for JPEG/GIF pixel data in this environment)."""
     return df.select(
         F.col(url_col).alias("url"),
-        _image_features_udf(F.col(payload_col)).alias("features"),
-    )
+        _image_features_udf(F.col(payload_col)).alias("m"),
+    ).select("url", "m.*")
 
 
 RESIZE_SCHEMA = StructType(
@@ -157,14 +199,21 @@ def image_resize(
     url_col: str = "url",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Thumbnail operator. Real: header parse + aspect-preserving dimension
-    math + output schema/batch shape. FAKE: the pixel decode/resample —
-    ``thumb`` is a deterministic digest stream of length width*height
-    (one fake gray byte per pixel), not resampled pixels. Non-image
-    payloads are dropped (filter happens inside the same pass — no extra
-    scan)."""
+    """Thumbnail operator (reference utils/image_processing ancestry; the
+    r2 digest stub promoted to real pixels — VERDICT r2 item 3). For
+    decodable payloads (BMP/PNG) ``thumb`` is the REAL aspect-preserved
+    grayscale thumbnail: nearest-neighbor sampled (src_y = y·sh//th —
+    deterministic, no float resampling kernel), one luma byte per pixel.
+    Payloads whose header parses but whose pixels can't be decoded here
+    (JPEG/GIF) keep the clearly-marked digest stream at the same schema.
+    Non-image payloads are dropped (filter happens inside the same pass —
+    no extra scan)."""
 
     def run(batches):
+        import numpy as np
+
+        from ..kernels.image_prep import decode_image, to_grayscale
+
         for pdf in batches:
             rows = []
             for u, p in zip(pdf[url_col], pdf[payload_col]):
@@ -176,15 +225,23 @@ def image_resize(
                 if sw <= 0 or sh <= 0:
                     continue
                 w, h = _thumb_dims(int(sw), int(sh), max_side)
-                npix = w * h
-                stream = bytearray()
-                counter = 0
-                while len(stream) < npix:
-                    stream += hashlib.blake2b(
-                        b, digest_size=64, key=b"thumb" + str(counter).encode()
-                    ).digest()
-                    counter += 1
-                rows.append((u, int(sw), int(sh), w, h, bytes(stream[:npix])))
+                arr = decode_image(b)
+                if arr is not None and arr.size:
+                    gray = to_grayscale(arr)
+                    ys = (np.arange(h) * gray.shape[0]) // h
+                    xs = (np.arange(w) * gray.shape[1]) // w
+                    thumb = gray[np.ix_(ys, xs)].tobytes()
+                else:
+                    npix = w * h
+                    stream = bytearray()
+                    counter = 0
+                    while len(stream) < npix:
+                        stream += hashlib.blake2b(
+                            b, digest_size=64, key=b"thumb" + str(counter).encode()
+                        ).digest()
+                        counter += 1
+                    thumb = bytes(stream[:npix])
+                rows.append((u, int(sw), int(sh), w, h, thumb))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
             )
@@ -266,7 +323,10 @@ PREP_SCHEMA = StructType(
         StructField("decoded", BooleanType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("ink_ratio", DoubleType()),
+        StructField("n_pix", LongType()),
+        StructField("sum_gray", LongType()),
+        StructField("ink0", LongType()),
+        StructField("edge_cnt", LongType()),
         StructField("is_scanned", BooleanType()),
         StructField("orientation", IntegerType()),
     ]
@@ -276,18 +336,26 @@ PREP_SCHEMA = StructType(
 def image_prep_profile(
     df: DataFrame, url_col: str = "url", payload_col: str = "payload"
 ) -> DataFrame:
-    """K14-K16 in ONE Arrow-batched pass over an opaque media column —
-    unlike the stubbed feature/resize operators above, this decodes REAL
-    pixels (BMP/PNG, kernels/image_prep.py): the reference's preprocessing
-    chain (grayscale → contrast → threshold → median) yields ``ink_ratio``
-    (share of ink pixels in the binarized page), the scanned-document
-    classifier yields ``is_scanned``, and the orientation detector yields
-    the best 90° rotation. Undecodable payloads → decoded=false row
-    (containment, not a dropped row). Embarrassingly parallel — runs on
-    the input's partitioning, numpy per batch, no shuffle."""
+    """K14-K16 + feature stats in ONE Arrow-batched pass over an opaque
+    media column, on REAL decoded pixels (BMP/PNG, kernels/image_prep.py).
+    All value columns are INTEGERS so the DuckDB oracle (which recomputes
+    the same math from the writer-side pixel ground truth — the m1
+    side-parquet pattern) matches bit-for-bit, no float-rounding bridge:
+
+    - ``sum_gray``  Σ luma — the mean-intensity feature numerator
+    - ``ink0``      ink pixels after the reference's K14 chain (grayscale →
+      contrast 1.5 → threshold 130 → 3×3 median); ink_ratio = ink0/n_pix
+    - ``edge_cnt``  strong-gradient pixels — the edge-density numerator
+      shared with :func:`image_features`
+    - ``is_scanned``/``orientation``  K15/K16 (integer profile scores)
+
+    Undecodable payloads → decoded=false row (containment, not a dropped
+    row). Embarrassingly parallel — runs on the input's partitioning,
+    numpy per batch, no shuffle."""
     from ..kernels.image_prep import (
         decode_image,
         detect_orientation_gray,
+        edge_count,
         is_scanned_gray,
         preprocess_gray,
         to_grayscale,
@@ -300,15 +368,17 @@ def image_prep_profile(
                 b = p or b""
                 arr = decode_image(b)  # decode ONCE; fan out array variants
                 if arr is None or arr.size == 0:
-                    rows.append((u, False, None, None, None, False, 0))
+                    rows.append((u, False, None, None, None, None, None, None, False, 0))
                     continue
                 h, w = arr.shape[:2]
                 gray = to_grayscale(arr)
                 pp = preprocess_gray(gray)
                 rows.append(
                     (
-                        u, True, int(w), int(h),
-                        round(float((pp == 0).mean()), 6),
+                        u, True, int(w), int(h), int(gray.size),
+                        int(gray.sum()),
+                        int((pp == 0).sum()),
+                        edge_count(gray),
                         bool(is_scanned_gray(gray)),
                         int(detect_orientation_gray(gray)),
                     )

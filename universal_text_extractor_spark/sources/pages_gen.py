@@ -445,31 +445,51 @@ def make_noise_image(rng: random.Random, w: int = 60, h: int = 40, fmt: str = "p
 def make_media_row(i: int, seed: int = _SEED_DEFAULT) -> dict:
     """Row *i* of the synthetic media table — index-pure like
     :func:`make_page`. Mix: document scans (upright + writer-rotated),
-    photo noise, and undecodable junk (the containment path)."""
+    photo noise, and undecodable junk (the containment path).
+
+    The returned dict also carries ``pixels`` — the writer-side RGB rows
+    that were encoded (None for junk). That is the PRE-ENCODING ground
+    truth the m3 DuckDB oracle recomputes pixel math from (the m1
+    side-parquet pattern): if the repo's BMP/PNG decoders mangled a byte,
+    the Spark side would diverge from the oracle. The rng draw order is
+    byte-locked: payloads are identical to earlier revisions of this
+    generator (hash-pinned in tests/test_image_prep.py)."""
     rng = random.Random(f"{seed}:media:{i}")
     fmt = rng.choice(["png", "bmp"])
     u = rng.random()
+    pixels: list | None = None
     if u < 0.45:
         kind = "doc"
         # paper-like aspect (the K15 window): w/h ∈ [0.66, 0.74]
         h = rng.randint(66, 100)
         w = int(h * (0.66 + 0.08 * rng.random()))
-        payload = make_document_image(rng, w=w, h=h, fmt=fmt)
+        # inlined make_document_image (same draw order) to expose pixels
+        pixels = _document_pixels(rng, w, h)
+        if fmt == "bmp":
+            payload = make_bmp(pixels, top_down=rng.random() < 0.5)
+        else:
+            payload = make_png(
+                pixels, "rgb", [rng.choice([0, 1, 2, 3, 4]) for _ in range(h)]
+            )
     elif u < 0.55:
         kind = "doc_rot"
         # writer-side 90° rotation of the pixel lists before encoding
         # (no kernel code involved — own writer ≠ parser)
         rows = _document_pixels(rng, 56, 78)
-        rot = [
+        pixels = [
             [rows[y][x] for y in range(len(rows))]
             for x in range(len(rows[0]) - 1, -1, -1)
         ]
-        payload = make_bmp(rot) if fmt == "bmp" else make_png(rot, "rgb")
+        payload = make_bmp(pixels) if fmt == "bmp" else make_png(pixels, "rgb")
     elif u < 0.9:
         kind = "noise"
-        payload = make_noise_image(
-            rng, w=rng.randint(30, 90), h=rng.randint(30, 90), fmt=fmt
-        )
+        w, h = rng.randint(30, 90), rng.randint(30, 90)
+        # inlined make_noise_image (same draw order) to expose pixels
+        pixels = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        payload = make_bmp(pixels) if fmt == "bmp" else make_png(pixels, "rgb")
     else:
         kind = "junk"
         payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(8, 120)))
@@ -477,6 +497,7 @@ def make_media_row(i: int, seed: int = _SEED_DEFAULT) -> dict:
         "url": f"https://media.example.com/{kind}/{i}.{fmt}",
         "payload": payload,
         "kind": kind,
+        "pixels": pixels,
     }
 
 
