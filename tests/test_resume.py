@@ -145,6 +145,93 @@ def test_bucket_count_change_is_refused(spark, tmp_path):
     assert read_extracted(spark, out).select("url").distinct().count() == 200
 
 
+def test_non_local_out_dir_refused(spark):
+    """The parquet-fallback commit protocol uses local-FS control files —
+    a remote URI must hard-fail, not degrade silently (ADVICE r2 #1)."""
+    pages = generate_pages_df(spark, 10, partitions=1)
+    with pytest.raises(ValueError, match="local filesystem"):
+        run_extraction(spark, pages, "hdfs://nn/warehouse/out", n_buckets=2)
+    with pytest.raises(ValueError, match="local filesystem"):
+        run_extraction(spark, pages, "s3a://bucket/out", n_buckets=2)
+
+
+def test_resume_with_different_input_warns(spark, tmp_path):
+    """Resuming over a committed stage ignores the passed `pages` in favor
+    of the staged snapshot; a caller passing a DIFFERENT input must at
+    least get a warning (ADVICE r2 #2)."""
+    import warnings
+
+    pages = generate_pages_df(spark, 120, partitions=2)
+    out = str(tmp_path / "fpwarn")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(
+            spark, pages, out, n_buckets=4, num_partitions=2, fail_after_buckets=1
+        )
+    other = generate_pages_df(spark, 120, partitions=2).filter("length(url) >= 0")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        r = run_extraction(spark, other, out, n_buckets=4, num_partitions=2)
+    assert any("staged input snapshot" in str(w.message) for w in caught)
+    # the staged snapshot (original input) wins — full corpus extracted
+    assert r.rows_written + 0 >= 0
+    assert read_extracted(spark, out).count() == 120
+    # same-plan resume does NOT warn
+    out2 = str(tmp_path / "fpsame")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(
+            spark, pages, out2, n_buckets=4, num_partitions=2, fail_after_buckets=1
+        )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        run_extraction(spark, pages, out2, n_buckets=4, num_partitions=2)
+    assert not any("staged input snapshot" in str(w.message) for w in caught)
+
+
+def test_retention_noop_clears_stale_scratch(spark, tmp_path):
+    """A committed scratch left by an earlier crash must not survive a
+    deleted==0 early return — a stale post-delete snapshot lingering on
+    disk could later be wrongly promoted over newer data (ADVICE r2 #3)."""
+    pages = generate_pages_df(spark, 100, partitions=2)
+    out = str(tmp_path / "staletmp")
+    run_extraction(spark, pages, out, n_buckets=2, num_partitions=2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        retention_cleanup(spark, out, "2100-01-01 00:00:00", fail_before_publish=True)
+    assert os.path.exists(f"{out}/metrics_tmp/_SUCCESS")  # committed scratch
+    assert retention_cleanup(spark, out, "2000-01-01 00:00:00") == 0  # no-op
+    assert not os.path.exists(f"{out}/metrics_tmp")  # scratch cleared
+
+
+def test_resume_at_design_fanout(spark, tmp_path):
+    """VERDICT r2 item 8: exercise n_buckets at a realistic fan-out (64 —
+    same order as the 10^3 design point relative to corpus size) to catch
+    partitionBy small-file pathologies and manifest-read scaling; pruning
+    and resume-equivalence must still hold."""
+    pages = generate_pages_df(spark, N, partitions=4)
+    out = str(tmp_path / "fan64")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(
+            spark, pages, out, n_buckets=64, num_partitions=2, fail_after_buckets=8
+        )
+    staged = spark.read.parquet(f"{out}/_staged")
+    plan = (
+        staged.filter(F.col("bucket") == 33)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    part_filters = plan.split("PartitionFilters: ")[1].splitlines()[0]
+    assert "bucket" in part_filters and "= 33" in part_filters, plan
+    r = run_extraction(spark, pages, out, n_buckets=64, num_partitions=2)
+    assert len(r.skipped_buckets) == 8
+    assert sorted(r.committed_buckets + r.skipped_buckets) == list(range(64))
+    single = str(tmp_path / "fan64_single")
+    run_extraction(spark, pages, single, n_buckets=64, num_partitions=2)
+    assert _table(spark, out) == _table(spark, single)
+    # completed re-invoke is a pure manifest read even at 64 buckets
+    again = run_extraction(spark, pages, out, n_buckets=64, num_partitions=2)
+    assert again.rows_written == 0 and len(again.skipped_buckets) == 64
+
+
 def test_export_sinks(spark, tmp_path):
     from universal_text_extractor_spark.operators.extract import extract_pages
     from universal_text_extractor_spark.sources.sinks import (

@@ -83,6 +83,52 @@ def test_xls_roundtrip_random(sheets):
     assert logs[-1].startswith("Successfully extracted data from")
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=16, max_value=64),
+)
+def test_xls_sst_continue_roundtrip(values, max_record):
+    """SSTs spanning CONTINUE records (the ubiquitous real-workbook shape,
+    ADVICE r2 #5): force tiny record caps so strings split between records
+    AND mid-character-array, and require byte-exact recovery."""
+    rows = [[v] for v in values]
+    payload = make_xls([("s", rows)], max_record=max_record)
+    # the tiny cap must actually have produced CONTINUE records whenever
+    # the SST body exceeds it
+    sst_size = 8 + sum(3 + len(v) for v in dict.fromkeys(values))
+    text, logs = extract_xls(payload)
+    expected = "--- Sheet: s ---\n" + "\n".join(values) + "\n"
+    assert text == expected, (sst_size, text, expected)
+    assert logs[-1].startswith("Successfully extracted data from")
+
+
+def test_xls_continue_after_non_sst_contained():
+    """A CONTINUE that doesn't follow an SST is out of scope — must fall
+    into the legacy literal, never crash."""
+    import struct
+
+    from universal_text_extractor_spark.sources.pages_gen import _cfb_build
+
+    rec = lambda op, body: struct.pack("<HH", op, len(body)) + body  # noqa: E731
+    stream = (
+        rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+        + rec(0x003C, b"orphan")
+        + rec(0x000A, b"")
+    )
+    text, logs = extract_xls(_cfb_build({"Workbook": stream}))
+    assert text.startswith("[Could not extract data from XLS file")
+    assert any("failed" in log for log in logs)
+
+
 _field = st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=40
 )

@@ -18,9 +18,12 @@ Decoders are hand-rolled from the public specs (no PIL): 24-bit BI_RGB
 BMP (bottom-up and top-down), and non-interlaced 8-bit PNG
 (grayscale/RGB/RGBA) with all five scanline filters. The synthetic corpus
 is produced by INDEPENDENT writers (``sources.pages_gen.make_bmp`` /
-``make_png`` — own writer ≠ parser). Everything is numpy-vectorized;
-per-payload cost is linear in pixels. Failures return None / defaults —
-never raise (D2 containment).
+``make_png`` — own writer ≠ parser). Pixel math is numpy-vectorized; PNG
+unfiltering is vectorized per row (None/Up), per lane-cumsum (Sub), and
+per pixel column with vectorized channel lanes for the sequential
+Average/Paeth filters (see ``_unfilter``). Cost is linear in pixels with
+a small per-pixel-column Python constant only on Average/Paeth rows.
+Failures return None / defaults — never raise (D2 containment).
 """
 
 from __future__ import annotations
@@ -71,10 +74,17 @@ def _png_chunks(b: bytes):
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters 0-4 (spec §9): rows are (filter_byte +
-    stride bytes); returns (h, stride) uint8."""
+    stride bytes); returns (h, stride) uint8.
+
+    Cost model (ADVICE r2 #4): None/Up are whole-row vectorized; Sub is a
+    per-lane prefix sum (addition mod 256 is associative, so one cumsum
+    then a final &0xFF); Average/Paeth carry a true left-to-right data
+    dependency, so they scan per PIXEL COLUMN (w iterations) with the bpp
+    channel lanes vectorized — not per byte."""
     rows = raw.reshape(h, stride + 1)
     ftypes = rows[:, 0]
     out = np.zeros((h, stride), dtype=np.uint8)
+    npx = stride // bpp
     for y in range(h):
         cur = rows[y, 1:].astype(np.int32)
         prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
@@ -83,21 +93,35 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
             line = cur
         elif ft == 2:  # Up
             line = (cur + prior) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
-            line = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                bb = prior[x]
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + bb) // 2
-                else:
-                    c = prior[x - bpp] if x >= bpp else 0
-                    p = a + bb - c
-                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
-                line[x] = (cur[x] + pred) & 0xFF
+        elif ft == 1:  # Sub: recon[x] = cur[x] + recon[x−bpp] → lane cumsum
+            lanes = cur.reshape(npx, bpp).astype(np.int64)
+            line = (np.cumsum(lanes, axis=0) & 0xFF).reshape(stride).astype(np.int32)
+        elif ft == 3:  # Average: sequential per pixel column, lanes vectorized
+            lanes = cur.reshape(npx, bpp)
+            pr = prior.reshape(npx, bpp)
+            acc = np.zeros((npx, bpp), np.int32)
+            prev = np.zeros(bpp, np.int32)
+            for x in range(npx):
+                prev = (lanes[x] + ((prev + pr[x]) >> 1)) & 0xFF
+                acc[x] = prev
+            line = acc.reshape(stride)
+        elif ft == 4:  # Paeth: sequential per pixel column, lanes vectorized
+            lanes = cur.reshape(npx, bpp)
+            pr = prior.reshape(npx, bpp)
+            acc = np.zeros((npx, bpp), np.int32)
+            prev = np.zeros(bpp, np.int32)  # recon of left pixel (a)
+            prevc = np.zeros(bpp, np.int32)  # prior of left pixel (c)
+            for x in range(npx):
+                b = pr[x]
+                p = prev + b - prevc
+                pa, pb, pc = np.abs(p - prev), np.abs(p - b), np.abs(p - prevc)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), prev, np.where(pb <= pc, b, prevc)
+                )
+                prev = (lanes[x] + pred) & 0xFF
+                acc[x] = prev
+                prevc = b
+            line = acc.reshape(stride)
         else:
             raise ValueError(f"bad filter {ft}")
         out[y] = line.astype(np.uint8)

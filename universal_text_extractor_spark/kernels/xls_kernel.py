@@ -9,7 +9,12 @@ literal, never a crash):
 - container limits per kernels/cfb.py (v3, header DIFAT; mini-stream
   supported).
 - BIFF8 records: SST / BOUNDSHEET / LABELSST / LABEL / NUMBER / RK / BOF /
-  EOF. SSTs spanning CONTINUE records raise → literal.
+  EOF / CONTINUE. SSTs spanning CONTINUE records are reassembled with the
+  standard BIFF8 rules (split between strings, or inside a character
+  array with the continuation fragment's re-declared option byte —
+  ubiquitous in real workbooks, ADVICE r2 #5). CONTINUE after a non-SST
+  record, or a split inside a string HEADER/rgRun (spec-invalid / exotic)
+  → literal.
 
 The test corpus is produced by an INDEPENDENT writer
 (``sources.pages_gen.make_xls`` — own-writer≠parser principle, same as the
@@ -102,24 +107,93 @@ def _records(data: bytes, pos: int):
             return
 
 
+def _parse_sst(frags: list[bytes]) -> list[str]:
+    """Parse an SST whose body spans ``frags`` = [SST body, CONTINUE
+    bodies…] using the BIFF8 reassembly rules: a split may fall between
+    strings (the continuation starts directly with the next string header)
+    or inside a character array (the continuation starts with a fresh
+    option byte re-declaring compressed/UTF-16). Splits inside a fixed
+    header or rgRun raise (spec-invalid; containment turns it into the
+    legacy literal)."""
+    unique = _u32(frags[0], 4)
+    fi, o = 0, 8
+    out: list[str] = []
+
+    def advance() -> None:
+        nonlocal fi, o
+        while fi < len(frags) and o >= len(frags[fi]):
+            fi += 1
+            o = 0
+
+    def fixed(n: int) -> bytes:
+        nonlocal fi, o
+        advance()
+        if fi >= len(frags) or o + n > len(frags[fi]):
+            raise ValueError("SST fixed field spans a CONTINUE boundary")
+        b = frags[fi][o : o + n]
+        o += n
+        return b
+
+    def skip(n: int) -> None:  # raw skip (rgRun/ExtRst continue without flags)
+        nonlocal fi, o
+        while n > 0:
+            advance()
+            if fi >= len(frags):
+                raise ValueError("SST truncated")
+            take = min(n, len(frags[fi]) - o)
+            o += take
+            n -= take
+
+    for _ in range(unique):
+        cch = _u16(fixed(2), 0)
+        flags = fixed(1)[0]
+        crun = _u16(fixed(2), 0) if flags & 0x08 else 0
+        cext = _u32(fixed(4), 0) if flags & 0x04 else 0
+        high = flags & 0x01
+        parts: list[str] = []
+        remaining = cch
+        while remaining > 0:
+            if o >= len(frags[fi]):
+                fi += 1
+                o = 0
+                if fi >= len(frags) or not frags[fi]:
+                    raise ValueError("SST truncated mid-string")
+                high = frags[fi][o] & 0x01  # continuation re-declares encoding
+                o += 1
+            width = 2 if high else 1
+            take = min(remaining, (len(frags[fi]) - o) // width)
+            if take == 0:
+                raise ValueError("SST split inside a character")
+            raw = frags[fi][o : o + take * width]
+            o += take * width
+            parts.append(
+                raw.decode("utf-16-le", "replace") if high else raw.decode("latin-1")
+            )
+            remaining -= take
+        skip(4 * crun + cext)
+        out.append("".join(parts))
+    return out
+
+
 def _parse_workbook(data: bytes):
     """→ (sst: list[str], bounds: list[(stream_pos, sheet_name)])."""
-    sst: list[str] = []
     bounds: list[tuple[int, str]] = []
+    sst_frags: list[bytes] | None = None
+    sst_open = False  # CONTINUEs directly following the SST extend it
     for op, body in _records(data, 0):
+        if op == _CONTINUE:
+            if not sst_open or sst_frags is None:
+                raise ValueError("CONTINUE after a non-SST record not supported")
+            sst_frags.append(body)
+            continue
+        sst_open = False
         if op == _BOUNDSHEET:
             name, _ = _read_xl_unicode(body, 6, short=True)
             bounds.append((_u32(body, 0), name))
         elif op == _SST:
-            unique = _u32(body, 4)
-            o = 8
-            for _ in range(unique):
-                if o >= len(body):
-                    raise ValueError("SST spans CONTINUE records")
-                s, o = _read_xl_unicode(body, o)
-                sst.append(s)
-        elif op == _CONTINUE:
-            raise ValueError("CONTINUE records not supported")
+            sst_frags = [body]
+            sst_open = True
+    sst = _parse_sst(sst_frags) if sst_frags is not None else []
     return sst, bounds
 
 

@@ -50,6 +50,24 @@ from ..operators.extract import extract_pages, extract_pages_fused, lineage_metr
 BUCKET_SALT = 0xC0FFEE
 
 
+def _require_local_out_dir(out_dir: str) -> None:
+    """The commit-protocol control files (n_buckets pin, _SUCCESS probes,
+    publish renames, stage cleanup) use local-FS primitives. On a remote
+    URI (hdfs://, s3a://…) those would silently no-op: the pin would never
+    engage — so resuming with a LARGER n_buckets would silently skip
+    never-extracted buckets — and stage reuse/cleanup would misbehave.
+    Hard-fail instead of degrading (ADVICE r2 #1). The production target
+    is Iceberg, where every one of these checks is a catalog/snapshot
+    operation and this guard disappears with the parquet fallback."""
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        raise ValueError(
+            f"out_dir {out_dir!r} is not on the local filesystem; the "
+            "parquet-fallback commit protocol requires a local (or "
+            "file://) path — use the Iceberg storage backend for remote "
+            "warehouses"
+        )
+
+
 @dataclasses.dataclass
 class ExtractionRun:
     run_id: str
@@ -63,6 +81,13 @@ def _bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("url"), F.lit(BUCKET_SALT)), F.lit(n_buckets)).cast(
         "int"
     )
+
+
+def _rm_f(path: str) -> None:
+    try:
+        os.remove(path)
+    except OSError:
+        pass
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -111,6 +136,7 @@ def run_extraction(
     output); ``fused=False`` runs the filter+union branch plan.
     """
     t0 = time.time()
+    _require_local_out_dir(out_dir)
     run_id = run_id or uuid.uuid4().hex[:12]
     # bucket ids in the manifest AND the stage are functions of n_buckets:
     # resuming the same out_dir with a different n would silently mis-cover
@@ -154,6 +180,7 @@ def run_extraction(
         # a crash after the final manifest commit but before stage cleanup
         # would otherwise leave the orphan copy forever
         shutil.rmtree(staged_dir, ignore_errors=True)
+        _rm_f(os.path.join(out_dir, "_staged_input_fp"))
         return ExtractionRun(
             run_id=run_id,
             committed_buckets=[],
@@ -169,10 +196,43 @@ def run_extraction(
     # immutable between crash and resume — the Iceberg-snapshot assumption
     # the module docstring states); an uncommitted stage (_SUCCESS missing)
     # is rebuilt.
+    # input-identity fingerprint (ADVICE r2 #2): the logical plan of the
+    # pages DataFrame, hashed. Cheap (no scan), and a caller that resumes
+    # with a DIFFERENT input (other path, other filter) almost certainly
+    # changes the plan. Mismatch warns rather than refuses — plan strings
+    # may legitimately differ across sessions (UDF object reprs, view
+    # names) while the data is the same snapshot.
+    import hashlib
+    import warnings
+
+    plan_fp = hashlib.sha256(
+        pages._jdf.queryExecution().logical().toString().encode()
+    ).hexdigest()
+    fp_file = os.path.join(out_dir, "_staged_input_fp")
     if not _staged_is_committed(staged_dir):
         pages.withColumn("bucket", _bucket_col(n_buckets)).write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(staged_dir)
+        with open(fp_file + ".tmp", "w") as f:
+            f.write(plan_fp)
+        os.replace(fp_file + ".tmp", fp_file)
+    else:
+        # committed stage → the passed `pages` DataFrame is NOT re-read;
+        # the crashed run's staged snapshot is. Say so, and flag a caller
+        # that appears to be passing a different input on resume.
+        old_fp = None
+        if os.path.exists(fp_file):
+            with open(fp_file) as f:
+                old_fp = f.read().strip()
+        if old_fp is not None and old_fp != plan_fp:
+            warnings.warn(
+                f"resuming {out_dir}: the staged input snapshot from the "
+                "crashed run is being reused, but the `pages` DataFrame "
+                "passed now has a different logical plan than the one "
+                "staged — if the input genuinely changed, use a fresh "
+                "out_dir (the staged snapshot wins)",
+                stacklevel=2,
+            )
     staged = spark.read.parquet(staged_dir)
 
     committed: list[int] = []
@@ -207,6 +267,7 @@ def run_extraction(
     # all buckets committed → the stage has served its purpose; drop it so a
     # completed output dir carries no second copy of the input
     shutil.rmtree(staged_dir, ignore_errors=True)
+    _rm_f(fp_file)
 
     return ExtractionRun(
         run_id=run_id,
@@ -258,10 +319,12 @@ def retention_cleanup(
             os.rename(tmp, path)
         elif os.path.exists(old):
             os.rename(old, path)
-    # with a live table, any remaining retired copy is garbage from a crash
-    # between promote and cleanup — drop it here so it cannot linger past
-    # deleted==0 early returns
+    # with a live table, any remaining retired copy OR scratch is garbage
+    # from an earlier crash — drop both here so a stale committed scratch
+    # cannot linger past deleted==0 early returns and later be wrongly
+    # promoted by the preamble above (ADVICE r2 #3)
     shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     df = spark.read.parquet(path)
     keep_cond = F.col("ts") >= F.lit(cutoff_ts).cast("timestamp")
     counts = df.agg(

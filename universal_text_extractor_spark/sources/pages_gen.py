@@ -662,7 +662,9 @@ def _epub_doc(rng: random.Random) -> bytes:
     return _zip_fixed(entries)
 
 
-def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
+def make_xls(
+    sheets: list[tuple[str, list[list[object]]]], max_record: int = 8224
+) -> bytes:
     """Minimal BIFF8 .xls writer: an OLE2/CFB v3 container holding one
     'Workbook' stream (globals: BOF + BOUNDSHEETs + SST + EOF; per sheet:
     BOF + LABELSST/NUMBER cells + EOF). INDEPENDENT of
@@ -673,11 +675,46 @@ def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
     ``sheets``: [(name, rows)] where each row is a list of str / int /
     float cells. Strings must be latin-1-safe (the generator's word list
     is ASCII). Deterministic: no timestamps, insertion-ordered SST.
+
+    ``max_record`` caps the SST record body (spec cap 8224): an SST
+    exceeding it is emitted as SST + CONTINUE records, split between
+    strings or mid-character-array with the spec's re-declared option
+    byte on the continuation fragment — the standard BIFF8 shape real
+    workbooks have (ADVICE r2 #5). Tests pass a tiny cap to force splits;
+    the default never splits the small synthetic corpus, keeping corpus
+    bytes stable.
     """
     import struct as _st
 
     def rec(op: int, body: bytes) -> bytes:
         return _st.pack("<HH", op, len(body)) + body
+
+    def sst_frags(strs: list[str], refs: int) -> list[bytes]:
+        """SST body fragments: [0]=SST record body, [1:]=CONTINUE bodies.
+        Split points: between strings (continuation starts with the next
+        string header) or inside a char array (continuation starts with a
+        fresh option byte — 0x00, compressed)."""
+        frags: list[bytes] = []
+        cur = bytearray(_st.pack("<II", refs, len(strs)))
+        for s in strs:
+            data = s.encode("latin-1")
+            header = _st.pack("<HB", len(s), 0)
+            if len(cur) + len(header) > max_record:
+                frags.append(bytes(cur))
+                cur = bytearray()
+            cur += header
+            pos = 0
+            while pos < len(data):
+                room = max_record - len(cur)
+                if room <= 0:
+                    frags.append(bytes(cur))
+                    cur = bytearray(b"\x00")  # continuation option byte
+                    room = max_record - 1
+                take = min(room, len(data) - pos)
+                cur += data[pos : pos + take]
+                pos += take
+        frags.append(bytes(cur))
+        return frags
 
     # shared-string table, insertion-ordered
     strings: list[str] = []
@@ -694,9 +731,10 @@ def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
 
     bof_globals = rec(0x0809, _st.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
     bof_sheet = _st.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0)
-    sst_body = _st.pack("<II", n_refs, len(strings))
-    for s in strings:
-        sst_body += _st.pack("<HB", len(s), 0) + s.encode("latin-1")
+    frags = sst_frags(strings, n_refs)
+    sst_blob = b"".join(
+        rec(0x00FC if i == 0 else 0x003C, f) for i, f in enumerate(frags)
+    )
 
     sheet_blobs = []
     for _name, rows in sheets:
@@ -719,7 +757,7 @@ def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
     globals_len = (
         len(bof_globals)
         + sum(len(boundsheet(0, name)) for name, _ in sheets)
-        + len(rec(0x00FC, sst_body))
+        + len(sst_blob)
         + 4  # EOF
     )
     positions = []
@@ -730,7 +768,7 @@ def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
     stream = (
         bof_globals
         + b"".join(boundsheet(p, name) for p, (name, _) in zip(positions, sheets))
-        + rec(0x00FC, sst_body)
+        + sst_blob
         + rec(0x000A, b"")
         + b"".join(sheet_blobs)
     )
