@@ -9,11 +9,7 @@ import json
 import pytest
 
 from conftest import FIXTURES
-from universal_text_extractor_spark.api import (
-    OCR_UNAVAILABLE_MSG,
-    TextExtractor,
-    extract_text,
-)
+from universal_text_extractor_spark.api import TextExtractor, extract_text
 
 MANIFEST = json.loads((FIXTURES / "manifest.json").read_text())
 KEYS = {"success", "text", "file_type", "ocr_used", "error"}
@@ -48,16 +44,30 @@ def test_missing_file_envelope():
     }
 
 
-def test_image_without_ocr_envelope():
-    res = TextExtractor().extract_from_image("whatever.png")
-    assert res["success"] is False and res["error"] == OCR_UNAVAILABLE_MSG
-    assert res["file_type"] == "image"
+def test_extract_from_image_ocr_roundtrip(tmp_path):
+    """Reference :80-128 with the live glyph backend: rendered text comes
+    back through extract_from_image; a missing file is the error
+    envelope."""
+    import random
+
+    from universal_text_extractor_spark.sources.pages_gen import make_ocr_page
+
+    p = tmp_path / "scan.png"
+    # scale 3: survives the preprocess=True (binarize+median) default path
+    p.write_bytes(make_ocr_page(random.Random(5), ["HELLO API", "LINE 2"], scale=3))
+    res = TextExtractor().extract_from_image(str(p))
+    assert res["success"] is True and res["ocr_used"] is True
+    assert res["text"] == "HELLO API\nLINE 2"
+    res = TextExtractor().extract_from_image(str(p), preprocess=False)
+    assert res["text"] == "HELLO API\nLINE 2"
+    res = TextExtractor().extract_from_image(str(tmp_path / "missing.png"))
+    assert res["success"] is False and res["ocr_used"] is False
 
 
 def test_supported_formats_shape():
     fmts = TextExtractor().get_supported_formats()
     assert {"documents", "images", "ocr_available", "ocr_backends"} == set(fmts)
-    assert fmts["ocr_available"] is False
+    assert fmts["ocr_available"] is True and fmts["ocr_backends"] == ["glyph-5x7"]
 
 
 def test_extract_text_raises_on_failure(tmp_path):

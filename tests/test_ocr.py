@@ -1,0 +1,96 @@
+"""K13 OCR glyph recognition (VERDICT r2 item 6): writer-rendered scanned
+pages round-trip byte-identically through the recognizer, across scales,
+formats, the K14-preprocessed path, and the dispatcher's use_ocr branch."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from universal_text_extractor_spark.kernels.dispatch import extract_payload
+from universal_text_extractor_spark.kernels.image_prep import (
+    decode_image,
+    preprocess_gray,
+    to_grayscale,
+)
+from universal_text_extractor_spark.kernels.ocr_kernel import (
+    FONT,
+    NO_TEXT_LITERAL,
+    perform_ocr,
+    recognize_gray,
+)
+from universal_text_extractor_spark.sources.pages_gen import (
+    make_noise_image,
+    make_ocr_page,
+)
+
+SAMPLE = "HELLO WORLD\nSPARK 12345\nOK? YES! A-B: C.D,E'F"
+
+
+def test_font_is_injective_and_complete():
+    assert len({v for v in FONT.values()}) == len(FONT)
+    for ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.,!?-':":
+        assert ch in FONT, ch
+
+
+def test_roundtrip_all_scales_and_formats():
+    rng = random.Random(42)
+    for scale in (1, 2, 3):
+        for fmt in ("png", "bmp"):
+            payload = make_ocr_page(rng, SAMPLE.split("\n"), fmt=fmt, scale=scale)
+            assert perform_ocr(payload) == SAMPLE, (scale, fmt)
+
+
+def test_preprocessed_path_scale3_is_median_invariant():
+    """The K14 chain (contrast → binarize → 3×3 median) erodes 1-px
+    strokes, but at glyph scale 3 the sampling-grid search recovers the
+    text exactly (block centers survive the median)."""
+    rng = random.Random(7)
+    payload = make_ocr_page(rng, ["THE QUICK BROWN FOX", "JUMPS OVER 13 DOGS!"],
+                            fmt="bmp", scale=3)
+    pp = preprocess_gray(to_grayscale(decode_image(payload)))
+    assert recognize_gray(pp) == "THE QUICK BROWN FOX\nJUMPS OVER 13 DOGS!"
+
+
+def test_no_text_literals():
+    rng = random.Random(9)
+    assert perform_ocr(b"not an image") == NO_TEXT_LITERAL
+    assert perform_ocr(b"") == NO_TEXT_LITERAL
+    assert perform_ocr(make_noise_image(rng)) == NO_TEXT_LITERAL
+
+
+def test_dispatch_use_ocr_branch():
+    """D8 consequent: the dispatcher's use_ocr image branch now carries
+    REAL recognized text with the reference's ocr_used/log observables."""
+    rng = random.Random(11)
+    payload = make_ocr_page(rng, ["SCANNED PAGE 1"])
+    text, ocr_used, success, error, logs = extract_payload(
+        "https://h/scan.png", payload, "image", use_ocr=True
+    )
+    assert text == "SCANNED PAGE 1" and ocr_used and success and error is None
+    assert "Performed OCR on image with language: eng" in logs
+    # default path unchanged: metadata-only, goldens-locked framing
+    text0, ocr0, *_rest = extract_payload("https://h/scan.png", payload, "image")
+    assert not ocr0 and text0.startswith("[Image: ")
+
+
+_line = st.text(
+    alphabet=sorted(set("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?-':")),
+    min_size=1,
+    max_size=24,
+).map(lambda s: s.strip())
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_line, min_size=1, max_size=4), st.integers(0, 2**31), st.sampled_from([1, 2]))
+def test_roundtrip_random_text(lines, seed, scale):
+    # normalize to what rendering preserves: no trailing whitespace, no
+    # blank lines (an all-blank line band doesn't exist to segment)
+    lines = [ln for ln in (ln.rstrip() for ln in lines) if ln]
+    if not lines:
+        return
+    rng = random.Random(seed)
+    payload = make_ocr_page(rng, lines, fmt=rng.choice(["png", "bmp"]), scale=scale)
+    assert perform_ocr(payload) == "\n".join(lines)

@@ -232,6 +232,41 @@ def test_resume_at_design_fanout(spark, tmp_path):
     assert again.rows_written == 0 and len(again.skipped_buckets) == 64
 
 
+def test_storage_seam_is_honored(spark, tmp_path):
+    """VERDICT r2 item 9: the pipeline's data plane must flow through the
+    StorageBackend interface — a delegating backend sees every operation,
+    and the run through it is equivalent to the default."""
+    from universal_text_extractor_spark.plans.storage import ParquetStorage
+
+    calls: list[str] = []
+
+    class Recording(ParquetStorage):
+        def __getattribute__(self, name):
+            attr = super().__getattribute__(name)
+            if callable(attr) and not name.startswith("_"):
+                def wrapped(*a, **k):
+                    calls.append(name)
+                    return attr(*a, **k)
+                return wrapped
+            return attr
+
+    pages = generate_pages_df(spark, 100, partitions=2)
+    out = str(tmp_path / "seam")
+    r = run_extraction(
+        spark, pages, out, n_buckets=3, num_partitions=2, storage=Recording()
+    )
+    assert r.rows_written == 100
+    assert {
+        "read_manifest_buckets", "stage_is_committed", "stage_pages",
+        "read_stage", "write_bucket", "read_bucket", "append_metrics",
+        "append_manifest", "drop_stage",
+    } <= set(calls)
+    assert calls.count("append_manifest") == 3  # one commit per bucket
+    base = str(tmp_path / "seam_base")
+    run_extraction(spark, pages, base, n_buckets=3, num_partitions=2)
+    assert _table(spark, out) == _table(spark, base)
+
+
 def test_export_sinks(spark, tmp_path):
     from universal_text_extractor_spark.operators.extract import extract_pages
     from universal_text_extractor_spark.sources.sinks import (

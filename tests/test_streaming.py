@@ -236,3 +236,58 @@ def test_stream_sessions_merge_across_restart(spark, tmp_path):
     }
     assert got.get(("u1", "2026-01-02T10:00:00")) == 3, got  # merged, not split
     assert ("u1", "2026-01-02T10:20:00") not in got  # no second u1 session
+
+
+def test_stream_sessions_equal_batch_sessions(spark, tmp_path):
+    """VERDICT r2 item 7: batch w5 (analytics.user_sessions) and
+    stream_user_sessions implement the SAME gaps-and-islands semantics —
+    drive both over one real events corpus and require identical
+    (user_id, session_start, session_end, n_events) row sets."""
+    from pyspark.sql import functions as F
+
+    from universal_text_extractor_spark.operators.analytics import user_sessions
+    from universal_text_extractor_spark.streaming import stream_user_sessions
+
+    # the parquet carries TIMESTAMP_NTZ; streaming watermarks require
+    # TIMESTAMP — cast once, used identically by both sides
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in user_sessions(events).collect()
+    }
+
+    src = str(tmp_path / "eqsrc")
+    ckpt = str(tmp_path / "eqckpt")
+    out = str(tmp_path / "eqout")
+    events.write.parquet(src)
+    # watermark flusher: append-mode sessions only finalize once the GLOBAL
+    # watermark passes their end — one far-future row for a sentinel user
+    # pushes it past every real session (its own session stays open and is
+    # excluded below)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    flusher_id = -12345
+    spark.createDataFrame(
+        [(flusher_id, max_ts, 0.0)], events.schema
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream_user_sessions(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] != flusher_id
+    }
+    assert got == want

@@ -38,10 +38,12 @@ class TextExtractor:
     """Reference-parity single-document API (text_extractor_api.py:20)."""
 
     def __init__(self) -> None:
-        # this environment ships no OCR backend (SURVEY.md §7.2 non-goal);
-        # the flags mirror the reference's capability probe
-        self.ocr_available = False
-        self.ocr_backends: list[str] = []
+        # the capability probe (reference :23-28): since r3 the glyph
+        # recognizer (kernels/ocr_kernel.py, K13) IS an available backend —
+        # deterministic, from-scratch, standing in for the reference's
+        # Tesseract/EasyOCR cascade
+        self.ocr_available = True
+        self.ocr_backends: list[str] = ["glyph-5x7"]
 
     def extract_from_bytes(self, name: str, payload: bytes) -> dict[str, Any]:
         """Extract from an in-memory payload; ``name`` provides the
@@ -85,17 +87,58 @@ class TextExtractor:
         # it the same way a url does
         return self.extract_from_bytes(os.path.abspath(file_path), payload)
 
-    def extract_from_image(self, image_path: str, **_kw) -> dict[str, Any]:
-        """Reference :80-128: without an OCR backend this is the
-        unavailable envelope (reference :95-102 — the exact branch the
-        reference takes in an OCR-less install)."""
-        return {
-            "success": False,
-            "error": OCR_UNAVAILABLE_MSG,
-            "text": "",
-            "file_type": "image",
-            "ocr_used": False,
-        }
+    def extract_from_image(
+        self,
+        image_path: str,
+        language: str = "eng",
+        handwriting_mode: bool = False,
+        preprocess: bool = True,
+    ) -> dict[str, Any]:
+        """Reference :80-128 with a live backend: optional K14
+        preprocessing, then OCR, success envelope with ``ocr_used=True``.
+        (The unavailable envelope, reference :95-102, would return if
+        ``ocr_available`` were False.) Note the reference's own caveat
+        applies here measurably: preprocessing binarizes + median-filters,
+        which destroys 1-px glyph strokes — scanned pages rendered at
+        ≥3× glyph scale survive it exactly (see tests/test_ocr.py)."""
+        if not self.ocr_available:
+            return {
+                "success": False,
+                "error": OCR_UNAVAILABLE_MSG,
+                "text": "",
+                "file_type": "image",
+                "ocr_used": False,
+            }
+        try:
+            with open(image_path, "rb") as f:
+                payload = f.read()
+            from .kernels.ocr_kernel import NO_TEXT_LITERAL, perform_ocr, recognize_gray
+
+            if preprocess:
+                from .kernels.image_prep import preprocess_image
+
+                processed = preprocess_image(payload)
+                if processed is None:
+                    text = NO_TEXT_LITERAL
+                else:
+                    text = recognize_gray(processed) or NO_TEXT_LITERAL
+            else:
+                text = perform_ocr(payload, language)
+            return {
+                "success": True,
+                "text": text,
+                "file_type": "image",
+                "ocr_used": True,
+                "error": None,
+            }
+        except Exception as e:
+            return {
+                "success": False,
+                "error": str(e),
+                "text": "",
+                "file_type": "image",
+                "ocr_used": False,
+            }
 
     def get_supported_formats(self) -> dict[str, Any]:
         """Reference :131-140."""

@@ -27,7 +27,7 @@ from .charset import decode_utf8_replace, detect_and_decode
 from .csv_kernel import extract_csv
 from .eml_kernel import extract_eml
 from .html_kernel import extract_html
-from .image_kernel import OCR_UNAVAILABLE_LITERAL, extract_image_metadata
+from .image_kernel import extract_image_metadata
 from .office_kernel import (
     DOC_LEGACY_LITERAL,
     PPT_LEGACY_LITERAL,
@@ -183,10 +183,13 @@ def extract_payload(
             logs.extend(k_logs)
         elif file_type == "image":
             if use_ocr:
-                # OCR stack unavailable in this environment: reference
-                # literal from utils/ocr_utils.py:128; ocr_used set per
-                # reference utils/file_handlers.py:192.
-                text = OCR_UNAVAILABLE_LITERAL
+                # K13 REAL since r3: deterministic glyph recognizer
+                # (kernels/ocr_kernel.py) standing in for the reference's
+                # Tesseract/EasyOCR cascade; ocr_used + log per reference
+                # utils/file_handlers.py:182-196.
+                from .ocr_kernel import perform_ocr
+
+                text = perform_ocr(payload or b"")
                 ocr_used = True
                 logs.append("Performed OCR on image with language: eng")
             else:

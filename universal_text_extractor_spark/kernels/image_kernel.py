@@ -10,18 +10,15 @@ Dimensions parsed from raw header bytes (PNG/JPEG/GIF/BMP) — no PIL, so
 output depends only on this module. Unknown/corrupt image headers fall back
 to the no-PIL literal ``[Image file - OCR not enabled]`` (reference :207).
 
-OCR itself (K13-K16) is intentionally a stub: the reference's OCR branch
-shells out to Tesseract/EasyOCR (reference utils/ocr_utils.py:112-208) which
-is unavailable here and non-deterministic; when ``use_ocr`` is requested the
-dispatcher emits the reference's unavailable-literal instead
-(reference utils/ocr_utils.py:128).
+OCR recognition itself lives in :mod:`.ocr_kernel` (K13 — REAL since r3:
+a deterministic glyph matcher replacing the r1/r2 unavailable-literal
+stub); K14-K16 preprocessing in :mod:`.image_prep`. This module stays the
+``use_ocr=False`` metadata path.
 """
 
 from __future__ import annotations
 
 import struct
-
-OCR_UNAVAILABLE_LITERAL = "[OCR processing is not available. Please install pytesseract or easyocr.]"
 _NO_OCR_SUFFIX = "OCR was not enabled. Enable OCR to extract text content from this image."
 
 

@@ -4,9 +4,11 @@ SURVEY.md §4.3 "Resumable checkpointing").
 Iceberg snapshots are the production design; this environment has no
 Iceberg runtime jar, so the documented fallback (SURVEY.md §7.0) is used:
 plain Parquet + a ``_manifest`` table of committed work units, with the
-SAME anti-join resume logic an Iceberg MERGE would use. Swapping the two
-writers for ``df.writeTo(...).append()`` on an Iceberg catalog is a
-two-line change and does not alter the resume algorithm.
+SAME anti-join resume logic an Iceberg MERGE would use. The data plane
+goes through the :class:`~.storage.StorageBackend` seam (VERDICT r2 item
+9) — :class:`~.storage.ParquetStorage` is the default; an Iceberg backend
+implements the same nine operations as table/snapshot calls (the mapping
+is tabulated in ``storage.py``) without touching the resume algorithm.
 
 Unit of commit: a url-hash *bucket* (``pmod(xxhash64(url, salt), n_buckets)``).
 Each bucket commits atomically: extracted parquet first, then metrics, then
@@ -46,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.extract import extract_pages, extract_pages_fused, lineage_metrics
+from .storage import DEFAULT_STORAGE, StorageBackend
 
 BUCKET_SALT = 0xC0FFEE
 
@@ -90,30 +93,14 @@ def _rm_f(path: str) -> None:
         pass
 
 
-def _manifest_path(out_dir: str) -> str:
+def _manifest_path(out_dir: str) -> str:  # layout documented; tests reference it
     return f"{out_dir}/_manifest"
 
 
-def _staged_path(out_dir: str) -> str:
-    return f"{out_dir}/_staged"
-
-
-def _staged_is_committed(staged_dir: str) -> bool:
-    """Parquet writes publish a ``_SUCCESS`` marker on commit; a crash
-    mid-stage leaves the dir without it and the next run restages
-    (overwrite). Local-FS check — with Iceberg this is the staging table's
-    snapshot existing."""
-    return os.path.exists(os.path.join(staged_dir, "_SUCCESS"))
-
-
-def committed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
-    try:
-        return [
-            r["bucket"]
-            for r in spark.read.parquet(_manifest_path(out_dir)).select("bucket").distinct().collect()
-        ]
-    except Exception:  # first run: no manifest yet
-        return []
+def committed_buckets(
+    spark: SparkSession, out_dir: str, storage: StorageBackend = DEFAULT_STORAGE
+) -> list[int]:
+    return storage.read_manifest_buckets(spark, out_dir)
 
 
 def run_extraction(
@@ -125,6 +112,7 @@ def run_extraction(
     run_id: str | None = None,
     fail_after_buckets: int | None = None,
     fused: bool = True,
+    storage: StorageBackend = DEFAULT_STORAGE,
 ) -> ExtractionRun:
     """Execute (or resume) an extraction run over ``pages`` into
     ``out_dir/extracted`` + ``out_dir/metrics``. Re-invoking after a crash
@@ -156,7 +144,7 @@ def run_extraction(
             f"{n_buckets} would silently skip work — pass n_buckets="
             f"{pinned} or use a fresh out_dir"
         )
-    done = set(committed_buckets(spark, out_dir))
+    done = set(committed_buckets(spark, out_dir, storage))
     if pinned is None:
         # unpinned dir (fresh, truncated pin, or created pre-pinning): any
         # manifest id >= n_buckets proves the dir was built under a larger
@@ -174,12 +162,11 @@ def run_extraction(
             f.write(str(n_buckets))
         os.replace(meta + ".tmp", meta)
     pending_buckets = [b for b in range(n_buckets) if b not in done]
-    staged_dir = _staged_path(out_dir)
 
     if not pending_buckets:  # completed run: pure manifest read, no input scan
         # a crash after the final manifest commit but before stage cleanup
         # would otherwise leave the orphan copy forever
-        shutil.rmtree(staged_dir, ignore_errors=True)
+        storage.drop_stage(out_dir)
         _rm_f(os.path.join(out_dir, "_staged_input_fp"))
         return ExtractionRun(
             run_id=run_id,
@@ -209,10 +196,10 @@ def run_extraction(
         pages._jdf.queryExecution().logical().toString().encode()
     ).hexdigest()
     fp_file = os.path.join(out_dir, "_staged_input_fp")
-    if not _staged_is_committed(staged_dir):
-        pages.withColumn("bucket", _bucket_col(n_buckets)).write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(staged_dir)
+    if not storage.stage_is_committed(out_dir):
+        storage.stage_pages(
+            pages.withColumn("bucket", _bucket_col(n_buckets)), out_dir
+        )
         with open(fp_file + ".tmp", "w") as f:
             f.write(plan_fp)
         os.replace(fp_file + ".tmp", fp_file)
@@ -233,7 +220,7 @@ def run_extraction(
                 "out_dir (the staged snapshot wins)",
                 stacklevel=2,
             )
-    staged = spark.read.parquet(staged_dir)
+    staged = storage.read_stage(spark, out_dir)
 
     committed: list[int] = []
     rows_written = 0
@@ -247,26 +234,24 @@ def run_extraction(
         extractor = extract_pages_fused if fused else extract_pages
         extracted = extractor(chunk, num_partitions=num_partitions)
         # write-then-publish: data, metrics, manifest — in that order
-        extracted.write.mode("overwrite").parquet(f"{out_dir}/extracted/bucket={b}")
-        written = spark.read.parquet(f"{out_dir}/extracted/bucket={b}")
+        storage.write_bucket(extracted, out_dir, b)
+        written = storage.read_bucket(spark, out_dir, b)
         metrics = lineage_metrics(written, run_id).withColumn("bucket", F.lit(b))
         # collect the (≤num_partitions) lineage rows once: the rows both
         # publish to the metrics table and carry doc_count, so no extra
         # written.count() action re-reads the bucket output
         metric_rows = metrics.collect()
         if metric_rows:
-            spark.createDataFrame(metric_rows, metrics.schema).write.mode(
-                "append"
-            ).parquet(f"{out_dir}/metrics")
-        spark.createDataFrame(
-            [(b, run_id)], "bucket int, run_id string"
-        ).write.mode("append").parquet(_manifest_path(out_dir))
+            storage.append_metrics(
+                spark.createDataFrame(metric_rows, metrics.schema), out_dir
+            )
+        storage.append_manifest(spark, out_dir, b, run_id)
         rows_written += sum(r["doc_count"] for r in metric_rows)
         committed.append(b)
 
     # all buckets committed → the stage has served its purpose; drop it so a
     # completed output dir carries no second copy of the input
-    shutil.rmtree(staged_dir, ignore_errors=True)
+    storage.drop_stage(out_dir)
     _rm_f(fp_file)
 
     return ExtractionRun(

