@@ -267,18 +267,48 @@ def fixtures() -> list[tuple[str, str, bytes]]:
     return docs
 
 
+def ocr_fixtures() -> list[tuple[str, str, bytes]]:
+    """K13 end-to-end scanned-page fixtures: extracted with use_ocr=True
+    (the dispatcher's OCR branch), goldens lock the recognized text
+    byte-for-byte. Writer-side rng pinned; regeneration is byte-stable."""
+    from universal_text_extractor_spark.sources.pages_gen import make_ocr_page
+
+    return [
+        ("ocr_scan_basic", "https://he.example.com/o/scan1.png",
+         make_ocr_page(random.Random(101), ["INVOICE 2024-017", "TOTAL: 1,250.00"])),
+        ("ocr_scan_scale3_bmp", "https://he.example.com/o/scan2.bmp",
+         make_ocr_page(random.Random(102),
+                       ["QUARTERLY REPORT", "REVENUE UP 12?", "YES!"],
+                       fmt="bmp", scale=3)),
+        ("ocr_scan_punct", "https://he.example.com/o/scan3.png",
+         make_ocr_page(random.Random(103), ["A-B: C.D,E'F", "LINE 2"], scale=2)),
+        ("ocr_no_text", "https://he.example.com/o/noise.png",
+         __import__(
+             "universal_text_extractor_spark.sources.pages_gen",
+             fromlist=["make_noise_image"],
+         ).make_noise_image(random.Random(104))),
+    ]
+
+
 def main() -> None:
     FIX.mkdir(parents=True, exist_ok=True)
     manifest = []
-    for name, url, payload in fixtures():
+    todo = [(n, u, p, False) for n, u, p in fixtures()] + [
+        (n, u, p, True) for n, u, p in ocr_fixtures()
+    ]
+    for name, url, payload, use_ocr in todo:
         ct = detect_content_type(url, payload)
-        text, ocr_used, success, error, logs = extract_payload(url, payload, ct)
+        text, ocr_used, success, error, logs = extract_payload(
+            url, payload, ct, use_ocr=use_ocr
+        )
         (FIX / f"{name}.bin").write_bytes(payload)
         (FIX / f"{name}.expected.txt").write_bytes(text.encode("utf-8"))
         entry = {
             "name": name, "url": url, "content_type": ct,
             "ocr_used": ocr_used, "success": success, "error": error,
         }
+        if use_ocr:
+            entry["use_ocr"] = True
         if ct == "html":
             from universal_text_extractor_spark.kernels.charset import detect_and_decode
             (FIX / f"{name}.main.txt").write_bytes(

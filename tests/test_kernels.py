@@ -30,7 +30,9 @@ def test_golden_byte_identity(entry):
     expected = (FIXTURES / f"{entry['name']}.expected.txt").read_bytes()
     ct = detect_content_type(entry["url"], payload)
     assert ct == entry["content_type"]
-    text, ocr_used, success, error, _logs = extract_payload(entry["url"], payload, ct)
+    text, ocr_used, success, error, _logs = extract_payload(
+        entry["url"], payload, ct, use_ocr=entry.get("use_ocr", False)
+    )
     assert text.encode("utf-8") == expected
     assert ocr_used == entry["ocr_used"]
     assert success == entry["success"]
