@@ -150,13 +150,30 @@ def test_dd6_simhash_pairs_no_python_partial_agg(spark):
 
 
 def test_s1_two_stage_topk(spark):
-    """brute_force_topk must rank in two stages: a (query_id, partition)
-    local prune before the per-query global window — never a single
-    window that sorts a query's full candidate list in one task."""
-    plan = _plan(spark, "s1_brute_force_topk")
+    """brute_force_topk at scale (n_vectors unknown/large) must rank in
+    two stages: a (query_id, partition) local prune before the per-query
+    global window — never a single window that sorts a query's full
+    candidate list in one task. Small inputs (n_vectors under the gate)
+    legitimately take the single window (VERDICT r2 item 5)."""
+    from universal_text_extractor_spark.operators import similarity as S
+    from universal_text_extractor_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = S.brute_force_topk(emb)  # scale default: no size hint
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     # two window nodes: local (query_id, _p) then final (query_id)
     assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2, plan
     assert "SPARK_PARTITION_ID" in plan or "_p" in plan, plan
+    # the gated small-input shape collapses to ONE window
+    small = S.brute_force_topk(emb, n_vectors=2000)
+    plan_small = small._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SPARK_PARTITION_ID" not in plan_small, plan_small
+    # and both shapes agree exactly
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, small.collect()))
 
 
 def test_dd3_cap_is_broadcast_anti_join_not_window(spark):

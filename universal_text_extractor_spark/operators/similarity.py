@@ -124,12 +124,27 @@ def _with_dbl_and_norm(embeddings: DataFrame) -> DataFrame:
     ).withColumn("nrm", _fold_norm(F.col("e")))
 
 
+SINGLE_WINDOW_MAX_CANDIDATES = 1_000_000
+
+
 def brute_force_topk(
-    embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 10
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector (self excluded): broadcast
-    the queries, rank per query with a window. Returns
-    (query_id, vec_id, sim, rk)."""
+    the queries, rank per query. Returns (query_id, vec_id, sim, rk).
+
+    Ranking shape is size-gated (VERDICT r2 item 5): the two-stage
+    salted top-k (:func:`_topk_per_query`) exists so no task ever sorts a
+    query's FULL candidate list — essential at 10^9+ vectors, but at small
+    scale its extra exchange+sort stage costs more than it saves. When the
+    caller knows the vector count (``n_vectors``, e.g. from parquet
+    metadata — no Spark job) and the candidate volume per query is under
+    ``SINGLE_WINDOW_MAX_CANDIDATES``, a single final window is used
+    instead — the same output either way (both exact, same total order).
+    Unknown size defaults to the scale-safe two-stage shape."""
     base = _with_dbl_and_norm(embeddings)
     q = base.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
@@ -142,7 +157,17 @@ def brute_force_topk(
     sim = F.round(
         _fold_dot(F.col("q_e"), F.col("e")) / (F.col("q_nrm") * F.col("nrm")), 6
     )
-    return _topk_per_query(joined.select("query_id", "vec_id", sim.alias("sim")), k)
+    scored = joined.select("query_id", "vec_id", sim.alias("sim"))
+    if n_vectors is not None and n_vectors <= SINGLE_WINDOW_MAX_CANDIDATES:
+        from pyspark.sql.window import Window
+
+        final = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("vec_id")
+        )
+        return scored.withColumn("rk", F.row_number().over(final)).filter(
+            F.col("rk") <= k
+        )
+    return _topk_per_query(scored, k)
 
 
 def lsh_signature_col(emb_dbl: Column) -> Column:
