@@ -136,15 +136,57 @@ def test_frame_sample_explode(spark):
         0, 1000, 2000, 3000, 4000, 5000,
     ]
     assert len(by_url["u/short"]) == 1  # sub-second clip → 1 frame
-    assert all(len(r["frame"]) == 64 for r in out)
+    assert all(not r["decoded"] and len(r["frame"]) == 64 for r in out)
     # distinct frames from the same clip
     frames = [bytes(r["frame"]) for r in by_url["u/vid"]]
     assert len(set(frames)) == len(frames)
 
 
+def test_frame_sample_real_gif(spark):
+    """Animated-GIF payloads demux REAL frames: timeline from the
+    graphic-control delays, raw grayscale bytes per sample."""
+    from universal_text_extractor_spark.sources.pages_gen import make_gif
+
+    f_dark = [[10] * 8 for _ in range(6)]
+    f_mid = [[128] * 8 for _ in range(6)]
+    f_light = [[250] * 8 for _ in range(6)]
+    # 3 frames x 1500 ms each → 4500 ms duration → samples at 0/1/2/3/4 s
+    gif = make_gif([f_dark, f_mid, f_light], delays_ms=[1500, 1500, 1500])
+    df = spark.createDataFrame([("u/anim.gif", gif)], "url string, payload binary")
+    rows = sorted(M.frame_sample(df, every_ms=1000).collect(), key=lambda r: r["ts_ms"])
+    assert [r["ts_ms"] for r in rows] == [0, 1000, 2000, 3000, 4000]
+    assert all(r["decoded"] and (r["width"], r["height"]) == (8, 6) for r in rows)
+    got = [bytes(r["frame"])[0] for r in rows]  # first gray byte per sample
+    # frames cover [0,1500) [1500,3000) [3000,4500) → samples land on
+    assert got == [10, 10, 128, 250, 250]
+
+
 def test_audio_features(spark, media_df):
     out = M.audio_features(media_df).collect()
     assert all(len(r["features"]) == M.AUDIO_FEATURE_DIM for r in out)
+    assert all(not r["decoded"] for r in out)  # no WAV in this fixture set
+
+
+def test_audio_features_real_wav(spark):
+    """PCM WAV payloads yield REAL windowed RMS energy — checked against
+    an independent per-window recomputation from the decoded samples."""
+    import random
+
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.audio_kernel import decode_wav
+    from universal_text_extractor_spark.sources.pages_gen import make_wav
+
+    wav = make_wav(random.Random(13), n_samples=4000)
+    df = spark.createDataFrame([("u/clip.wav", wav)], "url string, payload binary")
+    r = M.audio_features(df).collect()[0]
+    assert r["decoded"] is True
+    _rate, samples = decode_wav(wav)
+    for w in range(M.AUDIO_FEATURE_DIM):
+        a = len(samples) * w // M.AUDIO_FEATURE_DIM
+        z = len(samples) * (w + 1) // M.AUDIO_FEATURE_DIM
+        want = float(np.sqrt((samples[a:z] ** 2).mean()))
+        assert abs(r["features"][w] - want) < 1e-6
 
 
 def test_no_shuffle_in_plan(spark, media_df):

@@ -129,6 +129,65 @@ def test_xls_continue_after_non_sst_contained():
     assert any("failed" in log for log in logs)
 
 
+@st.composite
+def _gif_case(draw):
+    w = draw(st.integers(3, 20))
+    h = draw(st.integers(3, 16))
+    n = draw(st.integers(1, 4))
+    frames = [
+        [[draw(st.integers(0, 255)) for _ in range(w)] for _ in range(h)]
+        for _ in range(n)
+    ]
+    return frames
+
+
+@settings(max_examples=20, deadline=None)
+@given(_gif_case(), st.lists(st.integers(0, 5000), min_size=4, max_size=4))
+def test_gif_roundtrip_random(frames, delays):
+    """Writer↔parser pair for the animated-GIF codec: pixels and
+    centisecond-rounded delays recover exactly."""
+    from universal_text_extractor_spark.kernels.gif_kernel import decode_gif_frames
+    from universal_text_extractor_spark.sources.pages_gen import make_gif
+
+    import numpy as np
+
+    delays = delays[: len(frames)] + [100] * max(0, len(frames) - len(delays))
+    payload = make_gif(frames, delays_ms=delays)
+    got = decode_gif_frames(payload)
+    assert got is not None
+    w, h, out = got
+    assert (w, h) == (len(frames[0][0]), len(frames[0]))
+    assert len(out) == len(frames)
+    for (delay_ms, arr), want_f, want_d in zip(out, frames, delays):
+        assert delay_ms == (want_d // 10) * 10
+        assert (arr[:, :, 0] == np.array(want_f, dtype=np.uint8)).all()
+        assert (arr[:, :, 0] == arr[:, :, 1]).all()  # grayscale palette
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_decode_known_samples(samples, rate):
+    """decode_wav against a RIFF payload packed BY HAND here (independent
+    of both the kernel and make_wav): exact 16-bit sample recovery."""
+    import struct
+
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.audio_kernel import decode_wav
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    got_rate, got = decode_wav(payload)
+    assert got_rate == rate
+    assert np.allclose(got, np.array(samples) / 32768.0)
+
+
 _field = st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=40
 )

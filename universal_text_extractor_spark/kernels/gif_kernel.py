@@ -1,0 +1,149 @@
+"""Animated-GIF frame decode (from-scratch LZW) — promotes
+``frame_sample`` from digest stub to REAL demuxed frames for the one
+moving-picture container that is spec-simple enough to implement here
+(GIF's LZW is a short public algorithm; real video codecs are not in the
+sandbox and stay honestly stubbed).
+
+Scope: non-interlaced frames, global or local color tables, graphic-
+control delays; frames compose by drawing onto the prior canvas (the
+writer emits full-canvas frames, so disposal modes beyond draw-on-top
+are out of scope → None on interlace, containment elsewhere). The
+synthetic corpus comes from an INDEPENDENT writer
+(``sources.pages_gen.make_gif`` — fixed-width literal-code LZW with
+periodic clears; own writer ≠ parser). Failures return None — never
+raise (D2 containment).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes | None:
+    """GIF-variant LZW: variable code width (min+1 … 12, LSB-first bit
+    packing), clear/end codes, table rebuild on clear."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < code_size:
+            if pos >= n:
+                return bytes(out) if out else None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt stream
+        out += entry
+        if len(out) > max_pixels:
+            return bytes(out[:max_pixels])
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int = 256
+) -> tuple[int, int, list[tuple[int, np.ndarray]]] | None:
+    """→ (width, height, [(delay_ms, frame HxWx3 uint8), …]) or None.
+    Static GIFs yield one frame with delay 0."""
+    b = payload or b""
+    try:
+        if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        w, h = struct.unpack_from("<HH", b, 6)
+        if w <= 0 or h <= 0:
+            return None
+        flags = b[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            size = 2 << (flags & 0x07)
+            gct = np.frombuffer(b, np.uint8, size * 3, pos).reshape(size, 3)
+            pos += size * 3
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+        if gct is not None:
+            canvas[:] = gct[b[11] % len(gct)]  # background color
+        frames: list[tuple[int, np.ndarray]] = []
+        delay_ms = 0
+        while pos < len(b) and len(frames) < max_frames:
+            block = b[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                label = b[pos]
+                pos += 1
+                if label == 0xF9:  # graphic control
+                    blen = b[pos]
+                    if blen >= 4:
+                        (delay_cs,) = struct.unpack_from("<H", b, pos + 2)
+                        delay_ms = delay_cs * 10
+                    pos += 1 + blen
+                # skip remaining sub-blocks (incl. the terminator)
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                left, top, iw, ih = struct.unpack_from("<HHHH", b, pos)
+                iflags = b[pos + 8]
+                pos += 9
+                if iflags & 0x40:  # interlaced: out of scope
+                    return None
+                table = gct
+                if iflags & 0x80:
+                    size = 2 << (iflags & 0x07)
+                    table = np.frombuffer(b, np.uint8, size * 3, pos).reshape(size, 3)
+                    pos += size * 3
+                if table is None:
+                    return None
+                min_code = b[pos]
+                pos += 1
+                data = bytearray()
+                while pos < len(b) and b[pos] != 0:
+                    blen = b[pos]
+                    data += b[pos + 1 : pos + 1 + blen]
+                    pos += 1 + blen
+                pos += 1  # sub-block terminator
+                idx = _lzw_decode(min_code, bytes(data), iw * ih)
+                if idx is None or len(idx) < iw * ih:
+                    return None
+                ind = np.frombuffer(idx, np.uint8, iw * ih).reshape(ih, iw)
+                rgb = table[np.minimum(ind, len(table) - 1)]
+                canvas = canvas.copy()
+                canvas[top : top + ih, left : left + iw] = rgb[
+                    : h - top, : w - left
+                ]
+                frames.append((delay_ms, canvas))
+                delay_ms = 0
+            else:
+                return None  # unknown block: corrupt
+        return (int(w), int(h), frames) if frames else None
+    except Exception:
+        return None

@@ -8,21 +8,21 @@ column (BASELINE.json input_hint). Four operators:
   JPEG, reusing the K17 image kernel's header readers — reference
   utils/file_handlers.py:198-207 is the ancestor of this path) into a
   typed metadata struct. Fully real: no decode needed, header bytes only.
-- :func:`image_features` — fixed-dim feature vector per payload.
-- :func:`image_resize` — thumbnail dims + downsampled pixel payload.
+- :func:`image_features` — REAL pixel features for BMP/PNG (r3).
+- :func:`image_resize` — REAL nearest-neighbor grayscale thumbnails (r3).
+- :func:`image_prep_profile` — K14-K16 + integer feature stats, DuckDB-
+  oracle-checked against writer-side pixel ground truth (r3).
 - :func:`frame_sample` — one output row per sampled frame (1→many,
-  UDTF-shaped via ``mapInPandas``).
-- :func:`audio_features` — windowed energy vector per payload.
+  UDTF-shaped via ``mapInPandas``); REAL demuxed frames for animated GIF
+  (from-scratch LZW, r3).
+- :func:`audio_features` — REAL windowed RMS energy for RIFF/PCM WAV (r3).
 
-DECODE IS STUBBED, PLUMBING IS REAL. This container has no image/audio/
-video codecs (no PIL/librosa/av — task brief: "the image/audio libs aren't
-in this container, so STUB the decode step ... make the Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — real and
-tested"). Every ``_fake_*`` function below is a clearly-marked
-deterministic stand-in (seeded from the payload bytes, so results are
-stable across partitionings and re-runs); swapping it for a real decoder
-changes no schema, no partitioning, and no Spark code — only the bytes
-inside the pandas batch loop.
+DECODE IS REAL WHERE A SPEC-SIMPLE CONTAINER EXISTS (BMP, PNG, animated
+GIF, PCM WAV — all hand-rolled from the public specs, no codec
+libraries); formats that genuinely require codecs absent from this
+container (JPEG pixels, MP3/AAC, real video) keep a clearly-marked
+deterministic digest stand-in, flagged per row by ``decoded`` — swapping
+it for a codec changes no schema, no partitioning, and no Spark code.
 
 Scale notes: all operators are embarrassingly parallel (no shuffle — they
 run on whatever partitioning the input has; callers that need balance
@@ -252,8 +252,11 @@ def image_resize(
 FRAME_SCHEMA = StructType(
     [
         StructField("url", StringType()),
+        StructField("decoded", BooleanType()),
         StructField("frame_no", IntegerType()),
         StructField("ts_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
         StructField("frame", BinaryType()),
     ]
 )
@@ -267,19 +270,44 @@ def frame_sample(
     url_col: str = "url",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame (1→many
-    explode, the UDTF shape). Real: schema, pacing math (frame i at
-    ``i*every_ms``), batch plumbing. FAKE: there is no video demuxer here —
-    the "duration" is ``n_bytes // 1024`` ms and each frame is a
-    deterministic digest block, clearly NOT decoded video. A real
-    implementation swaps the body for pyav demux+decode at identical
-    schema."""
+    """Frame sampling: one output row per sampled frame (1→many explode,
+    the UDTF shape), frame i at event time ``i*every_ms``.
+
+    REAL for animated GIF (kernels/gif_kernel.py — from-scratch LZW):
+    the payload is demuxed, the graphic-control delays build the
+    timeline, and each sample emits the raw grayscale bytes of the frame
+    covering that instant (width/height columns carry the dims). Other
+    containers (real video codecs don't exist in this sandbox) keep the
+    clearly-marked digest fallback at the same schema — ``decoded``
+    distinguishes the two."""
 
     def run(batches):
+        from ..kernels.gif_kernel import decode_gif_frames
+        from ..kernels.image_prep import to_grayscale
+
         for pdf in batches:
             rows = []
             for u, p in zip(pdf[url_col], pdf[payload_col]):
                 b = p or b""
+                dec = decode_gif_frames(b, max_frames=1024)
+                if dec is not None:
+                    w, h, frames = dec
+                    starts = []
+                    t = 0
+                    for delay, _f in frames:
+                        starts.append(t)
+                        t += max(delay, 10)  # 0-delay frames tick minimally
+                    duration = t
+                    k = 0
+                    for i in range(max_frames):
+                        ts = i * every_ms
+                        if ts >= duration and i > 0:
+                            break
+                        while k + 1 < len(starts) and starts[k + 1] <= ts:
+                            k += 1
+                        gray = to_grayscale(frames[k][1]).tobytes()
+                        rows.append((u, True, i, ts, w, h, gray))
+                    continue
                 duration_ms = len(b) // 1024 * 1000
                 n = min(max_frames, max(duration_ms // every_ms, 0) + 1)
                 for i in range(n):
@@ -287,7 +315,7 @@ def frame_sample(
                         b, digest_size=32, key=b"frame" + str(i).encode()
                     ).digest()
                     frame = (frame * (bytes_per_frame // 32 + 1))[:bytes_per_frame]
-                    rows.append((u, i, i * every_ms, frame))
+                    rows.append((u, False, i, i * every_ms, None, None, frame))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.select(url_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
@@ -296,23 +324,33 @@ def frame_sample(
 AUDIO_FEATURE_DIM = 20
 
 
-@F.pandas_udf(ArrayType(FloatType()))
-def _audio_features_udf(payload: pd.Series) -> pd.Series:
-    return pd.Series(
-        [_digest_floats(p or b"", AUDIO_FEATURE_DIM, b"audiofeat") for p in payload]
-    )
+@F.pandas_udf(FEATURES_SCHEMA)
+def _audio_features_udf(payload: pd.Series) -> pd.DataFrame:
+    from ..kernels.audio_kernel import decode_wav, window_energy
+
+    rows = []
+    for p in payload:
+        b = p or b""
+        dec = decode_wav(b)
+        if dec is not None:
+            _rate, samples = dec
+            rows.append((True, [float(x) for x in window_energy(samples, AUDIO_FEATURE_DIM)]))
+        else:
+            rows.append((False, _digest_floats(b, AUDIO_FEATURE_DIM, b"audiofeat")))
+    return pd.DataFrame(rows, columns=["decoded", "features"])
 
 
 def audio_features(
     df: DataFrame, url_col: str = "url", payload_col: str = "payload"
 ) -> DataFrame:
-    """MFCC-shaped per-clip feature vector (array<float>[20]). Decode
-    stubbed exactly like :func:`image_features` (librosa would replace the
-    digest)."""
+    """MFCC-shaped per-clip feature vector (array<float>[20]) — REAL
+    windowed RMS energy for RIFF/PCM WAV payloads
+    (kernels/audio_kernel.py); compressed formats (no codecs in this
+    sandbox) keep the digest fallback, flagged by ``decoded``."""
     return df.select(
         F.col(url_col).alias("url"),
-        _audio_features_udf(F.col(payload_col)).alias("features"),
-    )
+        _audio_features_udf(F.col(payload_col)).alias("m"),
+    ).select("url", "m.*")
 
 
 # --- K14-K16: REAL image preprocessing (kernels/image_prep.py) -------------

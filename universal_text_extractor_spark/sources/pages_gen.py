@@ -497,6 +497,111 @@ def make_noise_image(rng: random.Random, w: int = 60, h: int = 40, fmt: str = "p
     return make_png(rows, "rgb")
 
 
+def make_wav(
+    rng: random.Random,
+    n_samples: int = 8000,
+    rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Minimal RIFF/PCM WAV writer — INDEPENDENT of
+    ``kernels.audio_kernel`` (own writer ≠ parser). Integer-only
+    synthesis (triangle carrier with per-segment amplitude steps + LCG
+    noise) so payloads are byte-deterministic across platforms — no
+    float trig anywhere."""
+    import struct as _st
+
+    frames = []
+    period = rng.randint(20, 120)
+    seg = max(n_samples // 8, 1)
+    amps = [rng.randint(0, 28000) for _ in range(8 + 1)]
+    for t in range(n_samples):
+        amp = amps[min(t // seg, len(amps) - 1)]
+        # integer triangle in [-period/2, period/2] scaled to amp
+        ph = t % period
+        tri = abs(ph - period // 2) - period // 4
+        val = (tri * amp * 4) // max(period, 1)
+        val += rng.randint(-500, 500)  # noise floor
+        val = max(-32768, min(32767, val))
+        for _c in range(channels):
+            if bits == 16:
+                frames.append(_st.pack("<h", val))
+            else:
+                frames.append(bytes([max(0, min(255, (val >> 8) + 128))]))
+    data = b"".join(frames)
+    bps = rate * channels * (bits // 8)
+    fmt = _st.pack("<HHIIHH", 1, channels, rate, bps, channels * (bits // 8), bits)
+    body = b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+    body += b"data" + _st.pack("<I", len(data)) + data
+    return b"RIFF" + _st.pack("<I", len(body)) + body
+
+
+def make_gif(
+    frames: list[list[list[int]]], delays_ms: list[int] | None = None
+) -> bytes:
+    """Minimal animated-GIF writer: 256-entry grayscale palette, full-
+    canvas frames, graphic-control delays, and the fixed-width
+    literal-code LZW trick (emit a CLEAR before the decoder's code width
+    would grow — spec-valid, compression-free). INDEPENDENT of
+    ``kernels.gif_kernel`` (own writer ≠ parser).
+
+    ``frames``: list of H×W grayscale (0-255) pixel lists, equal dims.
+    ``delays_ms``: per-frame delay (rounded down to centiseconds).
+    """
+    import struct as _st
+
+    h = len(frames[0])
+    w = len(frames[0][0])
+    delays_ms = delays_ms or [100] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += _st.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])  # grayscale palette
+    # netscape loop extension (standard for animation)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+
+    def lzw_literal(indices: bytes, min_code: int = 8) -> bytes:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        code_size = min_code + 1
+        # emit CLEAR every (2^min_code − 4) literals so the decoder's
+        # table never reaches the width-growth threshold
+        burst = (1 << min_code) - 4
+        acc = nbits = 0
+        packed = bytearray()
+
+        def emit(code: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        for k, px in enumerate(indices):
+            if k and k % burst == 0:
+                emit(clear)
+            emit(px)
+        emit(end)
+        if nbits:
+            packed.append(acc & 0xFF)
+        return bytes(packed)
+
+    for frame, delay in zip(frames, delays_ms):
+        out += b"\x21\xf9\x04\x00" + _st.pack("<H", delay // 10) + b"\x00\x00"
+        out += b"\x2c" + _st.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([8])  # LZW min code size
+        data = lzw_literal(bytes(v for row in frame for v in row))
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def make_media_row(i: int, seed: int = _SEED_DEFAULT) -> dict:
     """Row *i* of the synthetic media table — index-pure like
     :func:`make_page`. Mix: document scans (upright + writer-rotated),
