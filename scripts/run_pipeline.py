@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--generate-rows", type=int, default=None,
                     help="generate a synthetic pages table at --pages first")
+    ap.add_argument("--use-ocr", action="store_true",
+                    help="run the K13 glyph recognizer on image payloads "
+                         "and scanned PDF pages (D8 consequent)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,7 +54,8 @@ def main() -> None:
 
     pages = spark.read.parquet(args.pages)
     run = run_extraction(
-        spark, pages, args.out, n_buckets=args.buckets, num_partitions=args.partitions
+        spark, pages, args.out, n_buckets=args.buckets,
+        num_partitions=args.partitions, use_ocr=args.use_ocr,
     )
     print(
         f"run {run.run_id}: committed {len(run.committed_buckets)} buckets "

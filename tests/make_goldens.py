@@ -287,6 +287,11 @@ def ocr_fixtures() -> list[tuple[str, str, bytes]]:
              "universal_text_extractor_spark.sources.pages_gen",
              fromlist=["make_noise_image"],
          ).make_noise_image(random.Random(104))),
+        ("ocr_scanned_pdf", "https://he.example.com/o/scan.pdf",
+         _pdf_doc_pages(
+             random.Random(105), npages=0, flate=True,
+             scan_lines=[["CONTRACT NO. 7", "SIGNED: J. DOE"], ["APPENDIX A"]],
+         )),
     ]
 
 

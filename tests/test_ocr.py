@@ -76,6 +76,41 @@ def test_dispatch_use_ocr_branch():
     assert not ocr0 and text0.startswith("[Image: ")
 
 
+def test_scanned_pdf_ocr():
+    """The PDF use_ocr path (reference file_handlers.py:305-345): pages
+    without text ops but with an embedded DeviceGray scan image get REAL
+    recognized text under the '--- Page N (OCR) ---' framing; without
+    use_ocr the image-based literals stay byte-identical."""
+    from universal_text_extractor_spark.kernels.pdf_kernel import extract_pdf
+    from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
+
+    rng = random.Random(17)
+    payload = _pdf_doc_pages(
+        rng, npages=0, flate=True,
+        scan_lines=[["SCANNED INVOICE", "TOTAL: 99.50"], ["PAGE 2 HERE"]],
+    )
+    text, ocr_used, logs = extract_pdf(payload, use_ocr=True)
+    assert text == (
+        "\n--- Page 1 (OCR) ---\nSCANNED INVOICE\nTOTAL: 99.50\n"
+        "\n--- Page 2 (OCR) ---\nPAGE 2 HERE\n"
+    )
+    assert ocr_used is True
+    assert "Page 1 has no text, attempting OCR" in logs
+    # default path: reference's image-based summary literal, ocr_used False
+    text0, ocr0, _ = extract_pdf(payload)
+    assert not ocr0 and text0.startswith("[PDF has 2 pages")
+    # a no-image empty page under use_ocr: the (OCR) frame carries the
+    # no-text literal (perform_ocr is never empty — reference observable)
+    plain_empty = _pdf_doc_pages(rng, npages=1, flate=False, empty=True)
+    t, o, _ = extract_pdf(plain_empty, use_ocr=True)
+    assert "(OCR) ---\n[No text was detected in this image.]" in t and o
+    # and through the dispatcher
+    text2, ocr2, success, _err, logs2 = extract_payload(
+        "https://h/scan.pdf", payload, "pdf", use_ocr=True
+    )
+    assert "SCANNED INVOICE" in text2 and ocr2 and success
+
+
 _line = st.text(
     alphabet=sorted(set("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?-':")),
     min_size=1,

@@ -179,7 +179,7 @@ def extract_payload(
     text = ""
     try:
         if file_type == "pdf":
-            text, ocr_used, k_logs = extract_pdf(payload or b"")
+            text, ocr_used, k_logs = extract_pdf(payload or b"", use_ocr=use_ocr)
             logs.extend(k_logs)
         elif file_type == "image":
             if use_ocr:

@@ -18,8 +18,12 @@ Framing/sentinel literals reproduced from the reference PDF extractor
 - ``[Could not process this PDF file. It may be corrupted, protected, or in
   an unsupported format.]`` when the document doesn't parse (reference :462)
 
-OCR fallbacks (reference :306-349, :400-449) are out of scope in this
-environment (no Tesseract): ``ocr_used`` is always False.
+OCR (reference :306-349): REAL since r3 for scanned pages whose raster is
+an embedded DeviceGray image XObject — the K13 glyph recognizer
+(:mod:`.ocr_kernel`) stands in for the Tesseract cascade, and decoding
+the page's scan image stands in for ``page.get_pixmap()`` (a scanned
+page IS its image; arbitrary vector rasterization remains out of scope).
+``--- Page N (OCR) ---`` framing preserved (reference :327).
 """
 
 from __future__ import annotations
@@ -333,9 +337,53 @@ def _content_text(content: bytes) -> str:
     return "".join(out)
 
 
-def extract_pdf(payload: bytes) -> tuple[str, bool, list[str]]:
-    """Returns (text, ocr_used, logs). Never raises. ocr_used is always
-    False (OCR out of scope — see module docstring)."""
+def _page_image_gray(payload: bytes, objs, page_dict):
+    """The scanned-page raster: the page's /XObject image (DeviceGray,
+    8-bit) decoded to an (H, W) uint8 array — the from-scratch stand-in
+    for the reference's page.get_pixmap() rasterization (which this
+    sandbox cannot do for arbitrary vector content; a scanned page IS its
+    embedded image, so decoding it recovers exactly what the reference
+    rasterizes). Returns None when the page carries no decodable image."""
+    import numpy as np
+
+    res = _resolve(objs, page_dict.get("/Resources"))
+    if not isinstance(res, dict):
+        return None
+    xobjs = _resolve(objs, res.get("/XObject"))
+    if not isinstance(xobjs, dict):
+        return None
+    for ref in xobjs.values():
+        if not isinstance(ref, _Ref):
+            continue
+        d = objs.get(ref.num, (None, 0))[0]
+        if not isinstance(d, dict) or d.get("/Subtype") != "/Image":
+            continue
+        w = _resolve(objs, d.get("/Width"))
+        h = _resolve(objs, d.get("/Height"))
+        if (
+            d.get("/ColorSpace") != "/DeviceGray"
+            or _resolve(objs, d.get("/BitsPerComponent")) != 8
+            or not isinstance(w, int)
+            or not isinstance(h, int)
+        ):
+            continue
+        raw = _stream_bytes(payload, objs, ref.num)
+        if raw is None or len(raw) < w * h:
+            continue
+        return np.frombuffer(raw, np.uint8, w * h).reshape(h, w)
+    return None
+
+
+def extract_pdf(payload: bytes, use_ocr: bool = False) -> tuple[str, bool, list[str]]:
+    """Returns (text, ocr_used, logs). Never raises.
+
+    ``use_ocr=True`` mirrors reference utils/file_handlers.py:305-345: a
+    page without text operators is rasterized (here: its embedded scan
+    image decoded) and run through the K13 recognizer; recognized pages
+    get the ``--- Page N (OCR) ---`` framing. Like the reference's
+    ``perform_ocr``, the OCR result is never empty (the no-text literal
+    stands in), so an OCR'd page always lands in the (OCR) branch —
+    preserved observable."""
     logs = ["Attempting to extract text using content-stream parser"]
     try:
         if not payload.startswith(b"%PDF"):
@@ -350,6 +398,7 @@ def extract_pdf(payload: bytes) -> tuple[str, bool, list[str]]:
             return CORRUPT_LITERAL, False, logs
         extracted = []
         pages_with_text = 0
+        ocr_used = False
         for idx, pnum in enumerate(page_nums, start=1):
             d = objs[pnum][0]
             contents = d.get("/Contents")
@@ -367,6 +416,26 @@ def extract_pdf(payload: bytes) -> tuple[str, bool, list[str]]:
                 pages_with_text += 1
                 # reference utils/file_handlers.py:303
                 extracted.append(f"\n--- Page {idx} ---\n{page_text}\n")
+            elif use_ocr:
+                # reference :305-334 (PyMuPDF pixmap → perform_ocr), with
+                # the embedded-scan-image decode as the rasterizer
+                logs.append(f"Page {idx} has no text, attempting OCR")
+                try:
+                    from .ocr_kernel import NO_TEXT_LITERAL, recognize_gray
+
+                    gray = _page_image_gray(payload, objs, d)
+                    ocr_text = recognize_gray(gray) if gray is not None else ""
+                    ocr_text = ocr_text if ocr_text.strip() else NO_TEXT_LITERAL
+                    # perform_ocr never returns empty (reference
+                    # ocr_utils.py:208) → always the (OCR) branch
+                    extracted.append(f"\n--- Page {idx} (OCR) ---\n{ocr_text}\n")
+                    ocr_used = True
+                    pages_with_text += 1
+                except Exception as ocr_error:  # reference :332-334
+                    logs.append(f"OCR failed for page {idx}: {ocr_error}")
+                    extracted.append(
+                        f"\n--- Page {idx} ---\n[OCR failed for this page]\n"
+                    )
             else:
                 # use_ocr=False path, reference :347
                 extracted.append(
@@ -377,13 +446,13 @@ def extract_pdf(payload: bytes) -> tuple[str, bool, list[str]]:
             logs.append(
                 f"Successfully extracted text from {pages_with_text}/{total_pages} pages"
             )
-            return "".join(extracted), False, logs
+            return "".join(extracted), ocr_used, logs
         # reference :460
         logs.append("No text could be extracted from the PDF")
         return (
             f"[PDF has {total_pages} pages but appears to be image-based or "
             "scanned. Enable OCR to extract text from scanned documents.]",
-            False,
+            ocr_used,
             logs,
         )
     except Exception as e:

@@ -160,19 +160,58 @@ def _pdf_doc(rng: random.Random) -> bytes:
     return _pdf_doc_pages(rng, npages=rng.randint(1, 8), flate=rng.random() < 0.5)
 
 
-def _pdf_doc_pages(rng: random.Random, npages: int, flate: bool, empty: bool = False) -> bytes:
+def _pdf_doc_pages(
+    rng: random.Random,
+    npages: int,
+    flate: bool,
+    empty: bool = False,
+    scan_lines: list[list[str]] | None = None,
+    scan_scale: int = 1,
+) -> bytes:
+    """Spec-based PDF writer. ``scan_lines`` (one list of text lines per
+    page) makes each page a SCANNED page: no text operators, but a real
+    embedded image XObject (DeviceGray 8-bit, FlateDecode) rasterized
+    with the shared OCR font — the shape a scanner produces and the
+    use_ocr=True kernel path recognizes."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
         objects.append(body)
         return len(objects)  # 1-based object number
 
+    if scan_lines is not None:
+        npages = len(scan_lines)
     page_obj_nums = []
     content_nums = []
+    image_nums: list[int | None] = []
+    image_dims: list[tuple[int, int] | None] = []
     for p in range(npages):
-        if empty:
+        img_num = None
+        if scan_lines is not None:
+            rows = render_text_rows(scan_lines[p], rng, scale=scan_scale)
+            h = len(rows)
+            w = len(rows[0]) if rows else 1
+            gray = bytes(px[0] for row in rows for px in row)
+            comp = zlib.compress(gray)
+            img_num = add(
+                b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+                + b" /Height " + str(h).encode()
+                + b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                + b" /Filter /FlateDecode /Length " + str(len(comp)).encode()
+                + b" >>\nstream\n" + comp + b"\nendstream"
+            )
+            stream = (
+                b"q " + str(w).encode() + b" 0 0 " + str(h).encode()
+                + b" 0 0 cm /Im0 Do Q"
+            )
+            image_dims.append((w, h))
+        elif empty:
             stream = b"q 1 0 0 1 0 0 cm Q"  # graphics only, no BT/Tj
+            image_dims.append(None)
         else:
+            image_dims.append(None)
+        image_nums.append(img_num)
+        if scan_lines is None and not empty:
             lines = [_pdf_escape(_sentence(rng, rng.randint(4, 9))) for _ in range(rng.randint(8, 40))]
             ops = ["BT /F1 12 Tf 72 720 Td"]
             ops.append(f"({lines[0]}) Tj")
@@ -196,11 +235,19 @@ def _pdf_doc_pages(rng: random.Random, npages: int, flate: bool, empty: bool = F
     pages_tree_num = npages + len(content_nums) + 2  # computed below properly
     # reserve: we add page objects now, then the pages node, then catalog
     for p in range(npages):
+        res = (
+            b" /Resources << /Font << /F1 "
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >>"
+        )
+        if image_nums[p] is not None:
+            res += (
+                b" /XObject << /Im0 " + str(image_nums[p]).encode() + b" 0 R >>"
+            )
+        res += b" >>"
         page_obj_nums.append(
             add(
                 b"<< /Type /Page /Parent PAGESREF /MediaBox [0 0 612 792] /Contents "
-                + str(content_nums[p]).encode() + b" 0 R /Resources << /Font << /F1 "
-                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >>"
+                + str(content_nums[p]).encode() + b" 0 R" + res + b" >>"
             )
         )
     kids = b"[" + b" ".join(str(n).encode() + b" 0 R" for n in page_obj_nums) + b"]"
