@@ -124,6 +124,22 @@ def test_image_prep_profile_operator(spark):
     assert all(0.02 < r["ink0"] / r["n_pix"] < 0.5 for r in docs)
 
 
+def test_pages_generator_byte_stability():
+    """The pages corpus feeds the m1 oracle, the goldens, and the cached
+    bench parquet — pin its bytes so a generator refactor can't silently
+    shift them (index-purity alone doesn't catch a draw-order change)."""
+    import hashlib
+
+    from universal_text_extractor_spark.sources.pages_gen import make_page
+
+    h = hashlib.sha256()
+    for i in range(300):
+        r = make_page(i)
+        h.update(r["url"].encode())
+        h.update(r["html"] or b"")
+    assert h.hexdigest() == "380fe1d5ffa6e0d5731d4fd5fcb7176812b15b5b4e454e5b923d4f8b71ff3610"
+
+
 def test_media_generator_byte_stability():
     """The media corpus is the m3 oracle's ground truth — pin its bytes so
     a generator refactor can't silently shift what the oracle grades."""
