@@ -153,6 +153,10 @@ def test_non_local_out_dir_refused(spark):
         run_extraction(spark, pages, "hdfs://nn/warehouse/out", n_buckets=2)
     with pytest.raises(ValueError, match="local filesystem"):
         run_extraction(spark, pages, "s3a://bucket/out", n_buckets=2)
+    # file:// too: Spark resolves the URI but the os-level control files
+    # would treat it as a literal relative path, splitting pin from data
+    with pytest.raises(ValueError, match="local filesystem"):
+        run_extraction(spark, pages, "file:///tmp/out", n_buckets=2)
 
 
 def test_resume_with_different_input_warns(spark, tmp_path):
@@ -172,8 +176,9 @@ def test_resume_with_different_input_warns(spark, tmp_path):
         warnings.simplefilter("always")
         r = run_extraction(spark, other, out, n_buckets=4, num_partitions=2)
     assert any("staged input snapshot" in str(w.message) for w in caught)
-    # the staged snapshot (original input) wins — full corpus extracted
-    assert r.rows_written + 0 >= 0
+    # the staged snapshot (original input) wins — full corpus extracted,
+    # and the resume only re-did the 3 not-yet-committed buckets
+    assert 0 < r.rows_written < 120
     assert read_extracted(spark, out).count() == 120
     # same-plan resume does NOT warn
     out2 = str(tmp_path / "fpsame")

@@ -7,21 +7,32 @@ sandbox and stay honestly stubbed).
 Scope: non-interlaced frames, global or local color tables, graphic-
 control delays; frames compose by drawing onto the prior canvas (the
 writer emits full-canvas frames, so disposal modes beyond draw-on-top
-are out of scope → None on interlace, containment elsewhere). The
+are out of scope → error on interlace, containment elsewhere). The
 synthetic corpus comes from an INDEPENDENT writer
 (``sources.pages_gen.make_gif`` — fixed-width literal-code LZW with
-periodic clears; own writer ≠ parser). Failures return None — never
-raise (D2 containment).
+periodic clears; own writer ≠ parser).
+
+Two call shapes: :func:`open_gif` streams frames one canvas at a time
+(bounded memory for long animations — ``frame_sample`` holds only the
+current frame plus its emitted samples), :func:`decode_gif_frames`
+materializes a list and returns None on ANY defect (strict whole-payload
+validity for the image-decode path). Neither raises to callers.
 """
 
 from __future__ import annotations
 
 import struct
+from collections.abc import Iterator
 
 import numpy as np
 
 
-def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes | None:
+class GifError(Exception):
+    """Raised inside the frame iterator on a malformed stream; converted
+    to containment (None / partial-discard) by the public wrappers."""
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes:
     """GIF-variant LZW: variable code width (min+1 … 12, LSB-first bit
     packing), clear/end codes, table rebuild on clear."""
     clear = 1 << min_code_size
@@ -37,7 +48,9 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes | Non
     while True:
         while nbits < code_size:
             if pos >= n:
-                return bytes(out) if out else None
+                if out:
+                    return bytes(out)  # missing end code: keep decoded px
+                raise GifError("LZW stream truncated")
             acc |= data[pos] << nbits
             nbits += 8
             pos += 1
@@ -56,7 +69,7 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes | Non
         elif code == len(table) and prev is not None:
             entry = prev + prev[:1]
         else:
-            return None  # corrupt stream
+            raise GifError("corrupt LZW code")
         out += entry
         if len(out) > max_pixels:
             return bytes(out[:max_pixels])
@@ -65,14 +78,14 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes | Non
             if len(table) == (1 << code_size) and code_size < 12:
                 code_size += 1
         prev = entry
-    return bytes(out)
 
 
-def decode_gif_frames(
-    payload: bytes, max_frames: int = 256
-) -> tuple[int, int, list[tuple[int, np.ndarray]]] | None:
-    """→ (width, height, [(delay_ms, frame HxWx3 uint8), …]) or None.
-    Static GIFs yield one frame with delay 0."""
+def open_gif(payload: bytes) -> tuple[int, int, Iterator[tuple[int, np.ndarray]]] | None:
+    """→ (width, height, frame iterator) or None when the header doesn't
+    parse. The iterator yields (delay_ms, canvas HxWx3 uint8) per frame
+    and raises :class:`GifError` on a malformed block — callers decide
+    whether partial frames count (streaming demux) or not (strict list
+    decode)."""
     b = payload or b""
     try:
         if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -85,65 +98,99 @@ def decode_gif_frames(
         gct = None
         if flags & 0x80:
             size = 2 << (flags & 0x07)
+            if pos + size * 3 > len(b):
+                return None
             gct = np.frombuffer(b, np.uint8, size * 3, pos).reshape(size, 3)
             pos += size * 3
+    except Exception:
+        return None
+
+    def frames() -> Iterator[tuple[int, np.ndarray]]:
+        nonlocal pos
         canvas = np.zeros((h, w, 3), dtype=np.uint8)
         if gct is not None:
             canvas[:] = gct[b[11] % len(gct)]  # background color
-        frames: list[tuple[int, np.ndarray]] = []
         delay_ms = 0
-        while pos < len(b) and len(frames) < max_frames:
-            block = b[pos]
-            pos += 1
-            if block == 0x3B:  # trailer
-                break
-            if block == 0x21:  # extension
-                label = b[pos]
+        try:
+            while pos < len(b):
+                block = b[pos]
                 pos += 1
-                if label == 0xF9:  # graphic control
-                    blen = b[pos]
-                    if blen >= 4:
-                        (delay_cs,) = struct.unpack_from("<H", b, pos + 2)
-                        delay_ms = delay_cs * 10
-                    pos += 1 + blen
-                # skip remaining sub-blocks (incl. the terminator)
-                while pos < len(b) and b[pos] != 0:
-                    pos += 1 + b[pos]
-                pos += 1
-            elif block == 0x2C:  # image descriptor
-                left, top, iw, ih = struct.unpack_from("<HHHH", b, pos)
-                iflags = b[pos + 8]
-                pos += 9
-                if iflags & 0x40:  # interlaced: out of scope
-                    return None
-                table = gct
-                if iflags & 0x80:
-                    size = 2 << (iflags & 0x07)
-                    table = np.frombuffer(b, np.uint8, size * 3, pos).reshape(size, 3)
-                    pos += size * 3
-                if table is None:
-                    return None
-                min_code = b[pos]
-                pos += 1
-                data = bytearray()
-                while pos < len(b) and b[pos] != 0:
-                    blen = b[pos]
-                    data += b[pos + 1 : pos + 1 + blen]
-                    pos += 1 + blen
-                pos += 1  # sub-block terminator
-                idx = _lzw_decode(min_code, bytes(data), iw * ih)
-                if idx is None or len(idx) < iw * ih:
-                    return None
-                ind = np.frombuffer(idx, np.uint8, iw * ih).reshape(ih, iw)
-                rgb = table[np.minimum(ind, len(table) - 1)]
-                canvas = canvas.copy()
-                canvas[top : top + ih, left : left + iw] = rgb[
-                    : h - top, : w - left
-                ]
-                frames.append((delay_ms, canvas))
-                delay_ms = 0
-            else:
-                return None  # unknown block: corrupt
-        return (int(w), int(h), frames) if frames else None
-    except Exception:
+                if block == 0x3B:  # trailer
+                    return
+                if block == 0x21:  # extension
+                    label = b[pos]
+                    pos += 1
+                    if label == 0xF9:  # graphic control
+                        blen = b[pos]
+                        if blen >= 4:
+                            (delay_cs,) = struct.unpack_from("<H", b, pos + 2)
+                            delay_ms = delay_cs * 10
+                        pos += 1 + blen
+                    # skip remaining sub-blocks (incl. the terminator)
+                    while pos < len(b) and b[pos] != 0:
+                        pos += 1 + b[pos]
+                    pos += 1
+                elif block == 0x2C:  # image descriptor
+                    left, top, iw, ih = struct.unpack_from("<HHHH", b, pos)
+                    iflags = b[pos + 8]
+                    pos += 9
+                    if iflags & 0x40:
+                        raise GifError("interlaced GIF out of scope")
+                    table = gct
+                    if iflags & 0x80:
+                        size = 2 << (iflags & 0x07)
+                        table = np.frombuffer(b, np.uint8, size * 3, pos).reshape(
+                            size, 3
+                        )
+                        pos += size * 3
+                    if table is None:
+                        raise GifError("no color table")
+                    min_code = b[pos]
+                    pos += 1
+                    data = bytearray()
+                    while pos < len(b) and b[pos] != 0:
+                        blen = b[pos]
+                        data += b[pos + 1 : pos + 1 + blen]
+                        pos += 1 + blen
+                    pos += 1  # sub-block terminator
+                    idx = _lzw_decode(min_code, bytes(data), iw * ih)
+                    if len(idx) < iw * ih:
+                        raise GifError("frame pixel data truncated")
+                    ind = np.frombuffer(idx, np.uint8, iw * ih).reshape(ih, iw)
+                    rgb = table[np.minimum(ind, len(table) - 1)]
+                    canvas = canvas.copy()
+                    canvas[top : top + ih, left : left + iw] = rgb[
+                        : h - top, : w - left
+                    ]
+                    yield delay_ms, canvas
+                    delay_ms = 0
+                else:
+                    raise GifError(f"unknown block 0x{block:02x}")
+        except GifError:
+            raise
+        except Exception as e:  # malformed offsets/structs → containment
+            raise GifError(str(e)) from e
+
+    return int(w), int(h), frames()
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int = 256
+) -> tuple[int, int, list[tuple[int, np.ndarray]]] | None:
+    """Strict list form: → (width, height, [(delay_ms, frame), …]) or
+    None on ANY malformed block (whole-payload validity — the image-
+    decode path wants all-or-nothing). Static GIFs yield one frame with
+    delay 0."""
+    opened = open_gif(payload)
+    if opened is None:
         return None
+    w, h, it = opened
+    frames: list[tuple[int, np.ndarray]] = []
+    try:
+        for delay, canvas in it:
+            frames.append((delay, canvas))
+            if len(frames) >= max_frames:
+                break
+    except GifError:
+        return None
+    return (w, h, frames) if frames else None

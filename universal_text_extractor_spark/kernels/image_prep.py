@@ -161,14 +161,21 @@ def _decode_png(b: bytes) -> np.ndarray | None:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """(H, W, 3) uint8 RGB, or None for undecodable/unsupported payloads
-    (JPEG/GIF carry no spec-simple pixel path — headers only, K17)."""
+    """(H, W, 3) uint8 RGB, or None for undecodable/unsupported payloads.
+    BMP/PNG decode here; GIF decodes via the LZW kernel (first frame —
+    K14-K16 and the feature/resize operators see a still image). JPEG has
+    no spec-simple pixel path — headers only (K17)."""
     b = payload or b""
     try:
         if b.startswith(b"BM"):
             return _decode_bmp(b)
         if b.startswith(b"\x89PNG\r\n\x1a\n"):
             return _decode_png(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif_kernel import decode_gif_frames
+
+            dec = decode_gif_frames(b, max_frames=1)
+            return dec[2][0][1] if dec else None
     except Exception:
         return None
     return None

@@ -113,7 +113,8 @@ def _read_cells(line: np.ndarray, x0: int) -> tuple[str, int]:
     gap column."""
     w = line.shape[1]
     chars: list[str] = []
-    matched = unknown = gap_bad = 0
+    score = 0
+    gap_bad = 0
     n_cells = max((w - x0 + 5) // 6, 0)
     for k in range(n_cells):
         a = x0 + 6 * k
@@ -126,15 +127,27 @@ def _read_cells(line: np.ndarray, x0: int) -> tuple[str, int]:
         if not cell.any():
             chars.append(" ")
             continue
+        key = tuple(
+            int("".join("1" if v else "0" for v in row), 2) for row in cell
+        )
+        exact = _EXACT.get(key)
+        if exact is not None:
+            chars.append(exact)
+            score += 2  # an EXACT bitmap hit outweighs any Hamming-
+            # fallback hit at a rival alignment (a low-ink glyph like '.'
+            # shifted a few rows can land within the Hamming cap of
+            # another small glyph — the exact-weighted score keeps the
+            # true alignment on top)
+            continue
         ch = _match_cell(cell)
         if ch is None:
             chars.append("\x00")
-            unknown += 1
+            score -= 1
         else:
             chars.append(ch)
-            matched += 1
+            score += 1
     text = "".join(chars).replace("\x00", "").rstrip()
-    return text, matched - unknown - 2 * gap_bad
+    return text, score - 2 * gap_bad
 
 
 def _recognize_line(line: np.ndarray) -> tuple[str, int]:
@@ -153,9 +166,15 @@ def _recognize_line(line: np.ndarray) -> tuple[str, int]:
 
 
 def _recognize_grid(ink: np.ndarray) -> tuple[str, int]:
-    """Recognize at font-pixel resolution: group ink rows into line bands
-    (intra-glyph blank rows ≤ 2 apart merge; the 3-row line gap splits),
-    then anchor each band's 7-row window by best score."""
+    """Recognize at font-pixel resolution: group ink rows into line bands,
+    then anchor each band's 7-row window by best score.
+
+    Band threshold 3: the widest possible INTRA-line ink-row gap is 3
+    (apostrophe, bottom row 2 → period, top row 5 — a "'." line would
+    otherwise split into two bands whose 7-row windows both cover the
+    whole line and emit it twice), while the narrowest INTER-line gap is
+    4 (a line's bottom row 6 → the next line's top row 0 at the 10-row
+    leading)."""
     idxs = np.nonzero(ink.any(axis=1))[0]
     if len(idxs) == 0:
         return "", 0
@@ -163,7 +182,7 @@ def _recognize_grid(ink: np.ndarray) -> tuple[str, int]:
     start = prev = int(idxs[0])
     for r in idxs[1:]:
         r = int(r)
-        if r - prev <= 2:
+        if r - prev <= 3:
             prev = r
             continue
         groups.append((start, prev))

@@ -59,15 +59,19 @@ def _require_local_out_dir(out_dir: str) -> None:
     URI (hdfs://, s3a://…) those would silently no-op: the pin would never
     engage — so resuming with a LARGER n_buckets would silently skip
     never-extracted buckets — and stage reuse/cleanup would misbehave.
-    Hard-fail instead of degrading (ADVICE r2 #1). The production target
-    is Iceberg, where every one of these checks is a catalog/snapshot
-    operation and this guard disappears with the parquet fallback."""
-    if "://" in out_dir and not out_dir.startswith("file://"):
+    ``file://`` is rejected too: Spark resolves the URI but the os-level
+    control files would treat it as a literal relative path (a junk
+    ``./file:`` tree), splitting the pin from the data — pass the plain
+    path instead. Hard-fail instead of degrading (ADVICE r2 #1). The
+    production target is Iceberg, where every one of these checks is a
+    catalog/snapshot operation and this guard disappears with the parquet
+    fallback."""
+    if "://" in out_dir:
         raise ValueError(
-            f"out_dir {out_dir!r} is not on the local filesystem; the "
-            "parquet-fallback commit protocol requires a local (or "
-            "file://) path — use the Iceberg storage backend for remote "
-            "warehouses"
+            f"out_dir {out_dir!r} is not a plain local filesystem path; "
+            "the parquet-fallback commit protocol requires one (for "
+            "file:// URIs pass the bare path) — use the Iceberg storage "
+            "backend for remote warehouses"
         )
 
 
@@ -193,17 +197,23 @@ def run_extraction(
     import hashlib
     import warnings
 
-    plan_fp = hashlib.sha256(
-        pages._jdf.queryExecution().logical().toString().encode()
-    ).hexdigest()
+    try:
+        plan_fp: str | None = hashlib.sha256(
+            pages._jdf.queryExecution().logical().toString().encode()
+        ).hexdigest()
+    except Exception:
+        # _jdf is py4j-only (absent under Spark Connect); the fingerprint
+        # is advisory — skip it rather than fail the run
+        plan_fp = None
     fp_file = os.path.join(out_dir, "_staged_input_fp")
     if not storage.stage_is_committed(out_dir):
         storage.stage_pages(
             pages.withColumn("bucket", _bucket_col(n_buckets)), out_dir
         )
-        with open(fp_file + ".tmp", "w") as f:
-            f.write(plan_fp)
-        os.replace(fp_file + ".tmp", fp_file)
+        if plan_fp is not None:
+            with open(fp_file + ".tmp", "w") as f:
+                f.write(plan_fp)
+            os.replace(fp_file + ".tmp", fp_file)
     else:
         # committed stage → the passed `pages` DataFrame is NOT re-read;
         # the crashed run's staged snapshot is. Say so, and flag a caller
@@ -212,7 +222,7 @@ def run_extraction(
         if os.path.exists(fp_file):
             with open(fp_file) as f:
                 old_fp = f.read().strip()
-        if old_fp is not None and old_fp != plan_fp:
+        if old_fp is not None and plan_fp is not None and old_fp != plan_fp:
             warnings.warn(
                 f"resuming {out_dir}: the staged input snapshot from the "
                 "crashed run is being reused, but the `pages` DataFrame "
