@@ -176,6 +176,34 @@ def test_s1_two_stage_topk(spark):
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, small.collect()))
 
 
+def test_registry_wide_no_python_in_hot_paths(spark):
+    """Blanket plan audit over EVERY registry query: row-at-a-time Python
+    (BatchEvalPython) is banned everywhere, and only the two binary-decode
+    queries (m1/m3 — Arrow-batched by design: pixel/header bytes have no
+    JVM expression) may carry Python at all. A new query that silently
+    falls off the codegen path fails here before the driver ever grades
+    it."""
+    arrow_ok = {"m1_media_metadata", "m3_image_prep_profile"}
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        plan = (
+            fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if name not in arrow_ok and any(
+            k in plan for k in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        ):
+            offenders.append((name, "python-node"))
+    assert not offenders, offenders
+
+
 def test_dd3_cap_is_broadcast_anti_join_not_window(spark):
     """dd3's doc-frequency cap must NOT be a window over the shingle key
     (a window funnels every row of a hot key through one task BEFORE the
