@@ -1,0 +1,220 @@
+"""Baseline JPEG codec pair: independent writer (pages_gen.make_jpeg)
+↔ from-scratch decoder (kernels/jpeg_kernel.py).
+
+JPEG is lossy by construction, so the round-trip contract is a
+quality-bounded TOLERANCE (dims/channels exact, pixel error bounded) —
+unlike the byte-exact BMP/PNG contracts. Structured inputs at high
+quality must land within a few gray levels; the decoder must agree with
+itself across restart-marker layouts bit-for-bit; golden hashes pin both
+the writer bytes and the decoded pixels against silent drift; and the
+Spark operator surface must report JPEG payloads as decoded=true with
+features equal to the direct pixel math.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from universal_text_extractor_spark.kernels.image_prep import (
+    decode_image,
+    to_grayscale,
+)
+from universal_text_extractor_spark.kernels.jpeg_kernel import decode_jpeg
+from universal_text_extractor_spark.kernels.image_kernel import parse_image_header
+from universal_text_extractor_spark.sources.pages_gen import make_jpeg
+
+
+def _err(got: np.ndarray, want: np.ndarray) -> np.ndarray:
+    return np.abs(got.astype(np.int32) - want.astype(np.int32))
+
+
+def _gradient(w: int, h: int) -> list[list[tuple[int, int, int]]]:
+    return [
+        [(x * 5 % 256, y * 7 % 256, (x + y) * 3 % 256) for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def test_flat_gray_is_exact():
+    # a flat field has only a DC coefficient — even a lossy codec
+    # reproduces it exactly at any quality
+    px = [[77] * 20 for _ in range(12)]
+    got = decode_jpeg(make_jpeg(px, color="gray", quality=75))
+    assert got is not None and got.shape == (12, 20, 3)
+    assert (got == 77).all()
+
+
+def test_gradient_444_high_quality_tight():
+    px = _gradient(49, 33)
+    want = np.array([[list(p) for p in r] for r in px], np.uint8)
+    got = decode_jpeg(make_jpeg(px, quality=95))
+    assert got.shape == want.shape
+    assert _err(got, want).max() <= 2
+
+
+def test_subsampled_420_luma_tight_chroma_bounded():
+    px = _gradient(49, 33)
+    want = np.array([[list(p) for p in r] for r in px], np.uint8)
+    got = decode_jpeg(make_jpeg(px, quality=95, subsample=True))
+    assert got.shape == want.shape
+    # chroma is 2x2-averaged: bounded, looser than 4:4:4
+    assert _err(got, want).max() <= 24
+    # luma survives subsampling: compare through the shared gray map
+    gw = to_grayscale(want).astype(np.int32)
+    gg = to_grayscale(got).astype(np.int32)
+    assert np.abs(gw - gg).max() <= 4
+
+
+def test_restart_markers_do_not_change_pixels():
+    px = _gradient(40, 24)
+    base = decode_jpeg(make_jpeg(px, quality=85))
+    for interval in (1, 3, 7):
+        dri = decode_jpeg(make_jpeg(px, quality=85, restart_interval=interval))
+        assert (dri == base).all()
+
+
+def test_odd_dims_and_tiny_images():
+    for w, h in ((1, 1), (3, 2), (7, 9), (8, 8), (17, 16)):
+        px = [[(x * 31 % 256, y * 17 % 256, 50) for x in range(w)] for y in range(h)]
+        for sub in (False, True):
+            got = decode_jpeg(make_jpeg(px, quality=95, subsample=sub))
+            assert got is not None and got.shape == (h, w, 3), (w, h, sub)
+
+
+def test_noise_error_is_quality_monotone():
+    rng = random.Random(11)
+    px = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(24)]
+        for _ in range(17)
+    ]
+    want = np.array([[list(p) for p in r] for r in px], np.uint8)
+    means = []
+    for q in (95, 75, 50):
+        got = decode_jpeg(make_jpeg(px, quality=q))
+        means.append(_err(got, want).mean())
+    assert means[0] <= 3.0  # q95 keeps even noise within a few levels
+    assert means[0] < means[1] < means[2]
+
+
+def test_decode_containment_and_unsupported():
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\xff\xd8") is None
+    assert decode_jpeg(b"\xff\xd8\xff\x00junk") is None
+    assert decode_jpeg(b"\xff\xd8" + bytes(100)) is None
+    good = bytearray(make_jpeg(_gradient(16, 16), quality=90))
+    # progressive SOF2 → None (honest unsupported, not a wrong answer)
+    sof = good.find(b"\xff\xc0")
+    prog = bytes(good[:sof]) + b"\xff\xc2" + bytes(good[sof + 2 :])
+    assert decode_jpeg(prog) is None
+    # truncated entropy stream → None
+    assert decode_jpeg(bytes(good[: len(good) // 2])) is None
+
+
+def test_header_parser_agrees_with_decoder():
+    b = make_jpeg(_gradient(31, 22), quality=90)
+    assert parse_image_header(b) == (31, 22, "JPEG")
+    assert decode_image(b).shape == (22, 31, 3)
+
+
+def test_golden_bytes_and_pixels_pinned():
+    """Writer bytes and decoded pixels are both deterministic; these pins
+    catch silent drift in either side of the codec pair (regenerate
+    deliberately if the writer's tables change)."""
+    px = _gradient(32, 20)
+    b = make_jpeg(px, quality=90, subsample=True, restart_interval=2)
+    arr = decode_jpeg(b)
+    assert hashlib.sha256(b).hexdigest() == GOLDEN_BYTES
+    assert hashlib.sha256(arr.tobytes()).hexdigest() == GOLDEN_PIXELS
+
+
+GOLDEN_BYTES = "56a5d775eac7276cb1f237b7887fc0cdaac5b14ce3d3da4cd05b157535b35926"
+GOLDEN_PIXELS = "987234cfa4e3dd00fcda7716655e1cb8acdc5dcc8a65b1520680c30a4f99efee"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    quality=st.integers(60, 100),
+    sub=st.booleans(),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_roundtrip_property(w, h, quality, sub, gray, seed):
+    """Any image, any supported layout: decode succeeds, dims exact,
+    error bounded by a conservative quality-independent ceiling for the
+    supported quality range, and gray payloads stay channel-equal."""
+    rng = random.Random(seed)
+    if gray:
+        px = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        want = np.repeat(np.array(px, np.uint8)[:, :, None], 3, axis=2)
+        b = make_jpeg(px, color="gray", quality=quality)
+    else:
+        px = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        want = np.array([[list(p) for p in r] for r in px], np.uint8)
+        b = make_jpeg(px, quality=quality, subsample=sub)
+    got = decode_jpeg(b)
+    assert got is not None and got.shape == (h, w, 3)
+    if gray:
+        assert (got[:, :, 0] == got[:, :, 1]).all() and (got[:, :, 1] == got[:, :, 2]).all()
+        assert _err(got, want).max() <= 96  # q60 noise worst case, bounded
+    elif not sub:
+        assert _err(got, want).max() <= 112
+    # subsampled chroma on noise is unbounded pointwise by design; the
+    # structured-input tests above carry the tight bounds
+
+
+def test_operator_surface_sees_real_jpeg_pixels(spark):
+    """image_features / image_resize / media_metadata over JPEG payloads:
+    decoded=true, features equal the direct pixel math, thumbs equal the
+    direct nearest-neighbor sampling — the same end-to-end contract the
+    PNG/BMP paths carry in test_multimodal.py."""
+    from universal_text_extractor_spark.operators.multimodal import (
+        image_features,
+        image_resize,
+        media_metadata,
+        _pixel_features,
+    )
+
+    payloads = {
+        "https://m/j444.jpg": make_jpeg(_gradient(40, 28), quality=95),
+        "https://m/j420.jpg": make_jpeg(_gradient(33, 21), quality=90, subsample=True),
+        "https://m/jgray.jpg": make_jpeg(
+            [[(x * 9) % 256 for x in range(26)] for _ in range(18)],
+            color="gray",
+            quality=92,
+        ),
+    }
+    df = spark.createDataFrame(
+        [(u, p) for u, p in payloads.items()], "url string, payload binary"
+    )
+
+    meta = {r["url"]: r for r in media_metadata(df).collect()}
+    assert meta["https://m/j444.jpg"]["format"] == "JPEG"
+    assert (meta["https://m/j444.jpg"]["width"], meta["https://m/j444.jpg"]["height"]) == (40, 28)
+
+    feats = {r["url"]: r for r in image_features(df).collect()}
+    for url, payload in payloads.items():
+        row = feats[url]
+        assert row["decoded"] is True, url
+        want = _pixel_features(decode_image(payload))
+        got = row["features"]
+        assert len(got) == len(want)
+        assert all(abs(a - b) < 1e-4 for a, b in zip(got, want)), url
+
+    thumbs = {r["url"]: r for r in image_resize(df, max_side=16).collect()}
+    arr = decode_image(payloads["https://m/j444.jpg"])
+    gray = to_grayscale(arr)
+    th = thumbs["https://m/j444.jpg"]
+    assert (th["src_width"], th["src_height"]) == (40, 28)
+    ys = (np.arange(th["height"]) * gray.shape[0]) // th["height"]
+    xs = (np.arange(th["width"]) * gray.shape[1]) // th["width"]
+    assert bytes(th["thumb"]) == gray[np.ix_(ys, xs)].tobytes()

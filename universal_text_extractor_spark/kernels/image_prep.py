@@ -163,8 +163,8 @@ def _decode_png(b: bytes) -> np.ndarray | None:
 def decode_image(payload: bytes) -> np.ndarray | None:
     """(H, W, 3) uint8 RGB, or None for undecodable/unsupported payloads.
     BMP/PNG decode here; GIF decodes via the LZW kernel (first frame —
-    K14-K16 and the feature/resize operators see a still image). JPEG has
-    no spec-simple pixel path — headers only (K17)."""
+    K14-K16 and the feature/resize operators see a still image); baseline
+    JPEG decodes via the Huffman+IDCT kernel (kernels/jpeg_kernel.py)."""
     b = payload or b""
     try:
         if b.startswith(b"BM"):
@@ -176,6 +176,10 @@ def decode_image(payload: bytes) -> np.ndarray | None:
 
             dec = decode_gif_frames(b, max_frames=1)
             return dec[2][0][1] if dec else None
+        if b[:2] == b"\xff\xd8":
+            from .jpeg_kernel import decode_jpeg
+
+            return decode_jpeg(b)
     except Exception:
         return None
     return None

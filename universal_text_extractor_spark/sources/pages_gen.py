@@ -649,6 +649,246 @@ def make_gif(
     return bytes(out)
 
 
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """Spec zigzag order generated from its geometric rule (diagonal
+    d = row+col ascending; odd diagonals walk row-increasing) — shared
+    SEMANTICS with the decoder's constant table, independent code."""
+    out = []
+    for d in range(15):
+        rows = list(range(max(0, d - 7), min(d, 7) + 1))
+        for r in rows if d % 2 == 1 else reversed(rows):
+            out.append((r, d - r))
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing (T.81 §B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for k in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per spec
+
+
+def _jpeg_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) from a (BITS, HUFFVAL) spec pair."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+# Own Huffman specs (NOT Annex K — the decoder reads whatever DHT the
+# file carries, so the writer is free to use its own canonical tables;
+# multi-length layouts deliberately exercise the decoder's per-length
+# walk). DC: all 12 size categories at 4 bits. AC: EOB/ZRL short, the
+# 160 (run,size) symbols at 9 bits; the chroma variant shifts lengths.
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_SYMS = [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_JPEG_AC_BITS_Y = [0, 1, 1, 0, 0, 0, 0, 0, 160, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS_Y = [0x00, 0xF0] + _JPEG_AC_SYMS
+_JPEG_AC_BITS_C = [0, 0, 1, 1, 0, 0, 0, 0, 160, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS_C = [0x00, 0xF0] + _JPEG_AC_SYMS
+
+
+def _jpeg_quant_table(quality: int, chroma: bool) -> list[int]:
+    """Own base tables (frequency-ramped) scaled by the public libjpeg
+    quality rule: scale = 5000/q below 50 else 200−2q."""
+    scale = 5000 // max(quality, 1) if quality < 50 else 200 - 2 * min(quality, 100)
+    base = lambda u, v: (12 + 3 * (u + v)) if chroma else (10 + 2 * (u + v))
+    out = []
+    for u in range(8):
+        for v in range(8):
+            q = (base(u, v) * scale + 50) // 100
+            out.append(max(1, min(q, 255)))
+    return out
+
+
+def make_jpeg(
+    pixels: list[list],
+    color: str = "rgb",
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF writer (spec-based, INDEPENDENT of
+    ``kernels/jpeg_kernel.py`` — own zigzag generation, own Huffman
+    specs, own fDCT; writer ≠ parser). ``pixels`` follows the
+    :func:`make_png` convention: rows of (r, g, b) tuples (``color=
+    'rgb'``) or gray ints (``color='gray'``). ``subsample=True`` emits
+    4:2:0 (Y 2×2, chroma 1×1); ``restart_interval`` (in MCUs) emits DRI
+    + RSTn resync markers. Lossy by construction — round-trip closeness
+    is quality-bounded, not byte-exact (tests/test_jpeg.py)."""
+    import struct as _st
+
+    import numpy as np
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    if not h or not w:
+        raise ValueError("empty image")
+    if color == "gray":
+        arr = np.array(pixels, dtype=np.float64)
+        comps = [("Y", arr, 0, (1, 1))]
+        ncomp = 1
+    else:
+        rgb = np.array(
+            [[list(px) for px in row] for row in pixels], dtype=np.float64
+        )
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            # pad to even dims, then 2×2 box mean
+            cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+            crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+            cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+            cr = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+            comps = [("Y", y, 0, (2, 2)), ("Cb", cb, 1, (1, 1)), ("Cr", cr, 1, (1, 1))]
+        else:
+            comps = [("Y", y, 0, (1, 1)), ("Cb", cb, 1, (1, 1)), ("Cr", cr, 1, (1, 1))]
+        ncomp = 3
+
+    hmax = max(c[3][0] for c in comps)
+    vmax = max(c[3][1] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # orthonormal DCT-II matrix, built here independently
+    xs = np.arange(8, dtype=np.float64)
+    T = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16.0) * 0.5
+    T[0, :] = np.sqrt(0.125)
+
+    zz = _jpeg_zigzag()
+    qtabs = {0: _jpeg_quant_table(quality, False)}
+    if ncomp == 3:
+        qtabs[1] = _jpeg_quant_table(quality, True)
+    dc_code = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = {0: _jpeg_canonical(_JPEG_AC_BITS_Y, _JPEG_AC_VALS_Y)}
+    if ncomp == 3:
+        ac_codes[1] = _jpeg_canonical(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+
+    # pad every plane to its own MCU-aligned size (edge replication)
+    planes = []
+    for name, plane, tq, (ch, cv) in comps:
+        ph, pw = mcuy * 8 * cv, mcux * 8 * ch
+        padded = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        planes.append((name, padded, tq, ch, cv))
+
+    def encode_block(bw, block, q, pred, ac_code):
+        f = T @ (block - 128.0) @ T.T
+        coef = []
+        for k, (u, v) in enumerate(zz):
+            x = f[u, v] / q[k]
+            coef.append(int(np.floor(x + 0.5)) if x >= 0 else -int(np.floor(-x + 0.5)))
+        diff = coef[0] - pred
+        size = abs(diff).bit_length()
+        code, length = dc_code[size]
+        bw.put(code, length)
+        if size:
+            bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if coef[k]:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            if coef[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_code[0xF0]
+                bw.put(c, ln)
+                run -= 16
+            size = abs(coef[k]).bit_length()
+            c, ln = ac_code[(run << 4) | size]
+            bw.put(c, ln)
+            v = coef[k]
+            bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac_code[0x00]
+            bw.put(c, ln)
+        return coef[0]
+
+    bw = _JpegBitWriter()
+    preds = {name: 0 for name, *_ in planes}
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            preds = {name: 0 for name, *_ in planes}
+        my, mx = divmod(m, mcux)
+        for name, padded, tq, ch, cv in planes:
+            for by in range(cv):
+                for bx in range(ch):
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    preds[name] = encode_block(
+                        bw,
+                        padded[y0 : y0 + 8, x0 : x0 + 8],
+                        qtabs[tq],
+                        preds[name],
+                        ac_codes[tq],
+                    )
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + _st.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, tbl in qtabs.items():
+        out += b"\xff\xdb" + _st.pack(">H", 67) + bytes([tq]) + bytes(tbl)
+    sof = bytes([8]) + _st.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (name, _plane, tq, ch, cv) in enumerate(planes):
+        sof += bytes([ci + 1, (ch << 4) | cv, tq])
+    out += b"\xff\xc0" + _st.pack(">H", 2 + len(sof)) + sof
+    dhts = [(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS), (1, 0, _JPEG_AC_BITS_Y, _JPEG_AC_VALS_Y)]
+    if ncomp == 3:
+        dhts.append((1, 1, _JPEG_AC_BITS_C, _JPEG_AC_VALS_C))
+    for tc, th, bits, vals in dhts:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + _st.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + _st.pack(">H", 4) + _st.pack(">H", restart_interval)
+    sos = bytes([ncomp])
+    for ci, (name, _plane, tq, ch, cv) in enumerate(planes):
+        # DC table 0 shared; AC table follows the quant-table id
+        sos += bytes([ci + 1, (0 << 4) | tq])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + _st.pack(">H", 2 + len(sos)) + sos
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def make_media_row(i: int, seed: int = _SEED_DEFAULT) -> dict:
     """Row *i* of the synthetic media table — index-pure like
     :func:`make_page`. Mix: document scans (upright + writer-rotated),
