@@ -292,6 +292,11 @@ def ocr_fixtures() -> list[tuple[str, str, bytes]]:
              random.Random(105), npages=0, flate=True,
              scan_lines=[["CONTRACT NO. 7", "SIGNED: J. DOE"], ["APPENDIX A"]],
          )),
+        ("ocr_scanned_pdf_jpeg", "https://he.example.com/o/scanjpeg.pdf",
+         _pdf_doc_pages(
+             random.Random(106), npages=0, flate=True, scan_codec="jpeg",
+             scan_lines=[["RECEIPT NO. 4821", "PAID IN FULL."], ["COPY 2 OF 2"]],
+         )),
     ]
 
 

@@ -111,6 +111,30 @@ def test_scanned_pdf_ocr():
     assert "SCANNED INVOICE" in text2 and ocr2 and success
 
 
+def test_scanned_pdf_ocr_dctdecode():
+    """JPEG-compressed scan (DCTDecode — the encoding real scanners emit,
+    reference PyMuPDF decodes it inside get_pixmap): same recognized text
+    as the FlateDecode scan, through the lossy codec, at scales 1 and 3."""
+    from universal_text_extractor_spark.kernels.pdf_kernel import extract_pdf
+    from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
+
+    lines = [["SCANNED INVOICE", "TOTAL: 99.50"], ["PAGE 2 HERE"]]
+    want = (
+        "\n--- Page 1 (OCR) ---\nSCANNED INVOICE\nTOTAL: 99.50\n"
+        "\n--- Page 2 (OCR) ---\nPAGE 2 HERE\n"
+    )
+    for scale in (1, 3):
+        payload = _pdf_doc_pages(
+            random.Random(23), npages=0, flate=True,
+            scan_lines=lines, scan_scale=scale, scan_codec="jpeg",
+        )
+        text, ocr_used, _ = extract_pdf(payload, use_ocr=True)
+        assert text == want and ocr_used, scale
+        # without use_ocr: image-based literal, as for the flate scan
+        t0, o0, _ = extract_pdf(payload)
+        assert not o0 and t0.startswith("[PDF has 2 pages")
+
+
 _line = st.text(
     alphabet=sorted(set("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?-':")),
     min_size=1,

@@ -221,6 +221,11 @@ def _stream_bytes(payload: bytes, objs, num: int) -> bytes | None:
                 raw = zlib.decompress(raw)
             except Exception:
                 return None
+        elif f == "/DCTDecode":
+            # terminal image filter: the "decoded" stream IS entropy-coded
+            # JPEG data — the image path (_page_image_gray) turns it into
+            # pixels via the baseline JPEG kernel
+            return raw
         elif f is not None:
             return None  # unsupported filter → treat as no text
     return raw
@@ -361,11 +366,30 @@ def _page_image_gray(payload: bytes, objs, page_dict):
         w = _resolve(objs, d.get("/Width"))
         h = _resolve(objs, d.get("/Height"))
         if (
-            d.get("/ColorSpace") != "/DeviceGray"
-            or _resolve(objs, d.get("/BitsPerComponent")) != 8
+            _resolve(objs, d.get("/BitsPerComponent")) != 8
             or not isinstance(w, int)
             or not isinstance(h, int)
         ):
+            continue
+        filt = d.get("/Filter")
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        if "/DCTDecode" in filters:
+            # JPEG-compressed scan (the encoding real scanners emit) —
+            # reference PyMuPDF decodes this inside get_pixmap(); here the
+            # baseline JPEG kernel does
+            if d.get("/ColorSpace") not in ("/DeviceGray", "/DeviceRGB"):
+                continue
+            raw = _stream_bytes(payload, objs, ref.num)
+            if raw is None:
+                continue
+            from .image_prep import to_grayscale
+            from .jpeg_kernel import decode_jpeg
+
+            arr = decode_jpeg(raw)
+            if arr is None or arr.shape[:2] != (h, w):
+                continue
+            return to_grayscale(arr)
+        if d.get("/ColorSpace") != "/DeviceGray":
             continue
         raw = _stream_bytes(payload, objs, ref.num)
         if raw is None or len(raw) < w * h:

@@ -167,12 +167,15 @@ def _pdf_doc_pages(
     empty: bool = False,
     scan_lines: list[list[str]] | None = None,
     scan_scale: int = 1,
+    scan_codec: str = "flate",
 ) -> bytes:
     """Spec-based PDF writer. ``scan_lines`` (one list of text lines per
     page) makes each page a SCANNED page: no text operators, but a real
-    embedded image XObject (DeviceGray 8-bit, FlateDecode) rasterized
-    with the shared OCR font — the shape a scanner produces and the
-    use_ocr=True kernel path recognizes."""
+    embedded image XObject (DeviceGray 8-bit) rasterized with the shared
+    OCR font — the shape a scanner produces and the use_ocr=True kernel
+    path recognizes. ``scan_codec='jpeg'`` embeds the raster as a
+    DCTDecode (baseline JPEG) stream — the encoding real scanners emit —
+    instead of FlateDecode."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -191,13 +194,22 @@ def _pdf_doc_pages(
             rows = render_text_rows(scan_lines[p], rng, scale=scan_scale)
             h = len(rows)
             w = len(rows[0]) if rows else 1
-            gray = bytes(px[0] for row in rows for px in row)
-            comp = zlib.compress(gray)
+            if scan_codec == "jpeg":
+                comp = make_jpeg(
+                    [[px[0] for px in row] for row in rows],
+                    color="gray",
+                    quality=95,
+                )
+                filter_name = b"/DCTDecode"
+            else:
+                comp = zlib.compress(bytes(px[0] for row in rows for px in row))
+                filter_name = b"/FlateDecode"
             img_num = add(
                 b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
                 + b" /Height " + str(h).encode()
                 + b" /ColorSpace /DeviceGray /BitsPerComponent 8"
-                + b" /Filter /FlateDecode /Length " + str(len(comp)).encode()
+                + b" /Filter " + filter_name
+                + b" /Length " + str(len(comp)).encode()
                 + b" >>\nstream\n" + comp + b"\nendstream"
             )
             stream = (
