@@ -161,6 +161,37 @@ def test_frame_sample_real_gif(spark):
     assert got == [10, 10, 128, 250, 250]
 
 
+def test_frame_sample_real_avi(spark):
+    """Uncompressed-AVI payloads demux REAL frames: fixed per-frame delay
+    from the vids stream's scale/rate, pixel-exact (no codec loss), and a
+    truncated payload falls back whole to the digest path (whole-payload
+    strictness, same as GIF)."""
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.image_prep import to_grayscale
+    from universal_text_extractor_spark.sources.pages_gen import make_avi
+
+    levels = [20, 90, 200]
+    frames = [[[(v, v, v)] * 10 for _ in range(7)] for v in levels]
+    avi = make_avi(frames, fps=1)  # 1 fps → 1000 ms per frame
+    df = spark.createDataFrame(
+        [("u/clip.avi", avi), ("u/trunc.avi", avi[: len(avi) // 2])],
+        "url string, payload binary",
+    )
+    rows = M.frame_sample(df, every_ms=1000).collect()
+    by_url: dict[str, list] = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    good = sorted(by_url["u/clip.avi"], key=lambda r: r["ts_ms"])
+    assert [r["ts_ms"] for r in good] == [0, 1000, 2000]
+    assert all(r["decoded"] and (r["width"], r["height"]) == (10, 7) for r in good)
+    want = [
+        to_grayscale(np.full((7, 10, 3), v, np.uint8)).tobytes() for v in levels
+    ]
+    assert [bytes(r["frame"]) for r in good] == want
+    assert all(not r["decoded"] for r in by_url["u/trunc.avi"])
+
+
 def test_audio_features(spark, media_df):
     out = M.audio_features(media_df).collect()
     assert all(len(r["features"]) == M.AUDIO_FEATURE_DIM for r in out)

@@ -14,15 +14,16 @@ column (BASELINE.json input_hint). Four operators:
   oracle-checked against writer-side pixel ground truth (r3).
 - :func:`frame_sample` — one output row per sampled frame (1→many,
   UDTF-shaped via ``mapInPandas``); REAL demuxed frames for animated GIF
-  (from-scratch LZW, r3).
+  (from-scratch LZW, r3) and uncompressed AVI (RIFF/DIB demux, r3).
 - :func:`audio_features` — REAL windowed RMS energy for RIFF/PCM WAV (r3).
 
 DECODE IS REAL FOR EVERY IMAGE FORMAT THE ENGINE EMITS METADATA FOR
 (BMP, PNG, animated GIF, baseline JPEG — Huffman+IDCT in
-kernels/jpeg_kernel.py — plus PCM WAV audio; all hand-rolled from the
-public specs, no codec libraries); formats that genuinely require codecs
-absent from this container (MP3/AAC, real video, progressive JPEG) keep
-a clearly-marked deterministic digest stand-in, flagged per row by
+kernels/jpeg_kernel.py — plus PCM WAV audio and uncompressed-AVI video;
+all hand-rolled from the public specs, no codec libraries); formats that
+genuinely require codecs absent from this container (MP3/AAC, H.264-
+class video, progressive JPEG) keep a clearly-marked deterministic
+digest stand-in, flagged per row by
 ``decoded`` — swapping it for a codec changes no schema, no
 partitioning, and no Spark code.
 
@@ -277,23 +278,27 @@ def frame_sample(
     """Frame sampling: one output row per sampled frame (1→many explode,
     the UDTF shape), frame i at event time ``i*every_ms``.
 
-    REAL for animated GIF (kernels/gif_kernel.py — from-scratch LZW):
-    the payload is demuxed, the graphic-control delays build the
-    timeline, and each sample emits the raw grayscale bytes of the frame
-    covering that instant (width/height columns carry the dims). Other
-    containers (real video codecs don't exist in this sandbox) keep the
+    REAL for animated GIF (kernels/gif_kernel.py — from-scratch LZW) and
+    uncompressed AVI (kernels/video_kernel.py — RIFF/DIB demux): the
+    payload is demuxed, the per-frame delays build the timeline, and
+    each sample emits the raw grayscale bytes of the frame covering that
+    instant (width/height columns carry the dims). Codec-compressed
+    containers (H.264 etc. — no codecs in this sandbox) keep the
     clearly-marked digest fallback at the same schema — ``decoded``
     distinguishes the two."""
 
     def run(batches):
         from ..kernels.gif_kernel import GifError, open_gif
         from ..kernels.image_prep import to_grayscale
+        from ..kernels.video_kernel import AviError, open_avi
 
         for pdf in batches:
             rows = []
             for u, p in zip(pdf[url_col], pdf[payload_col]):
                 b = p or b""
                 opened = open_gif(b)
+                if opened is None:
+                    opened = open_avi(b)
                 if opened is not None:
                     # STREAMING demux: one canvas in memory at a time —
                     # a long animation never materializes all frames
@@ -320,7 +325,7 @@ def frame_sample(
                                 i += 1
                             if i >= max_frames:
                                 break
-                    except GifError:
+                    except (AviError, GifError):
                         ok = False
                     if ok and local:
                         rows.extend(local)

@@ -661,6 +661,65 @@ def make_gif(
     return bytes(out)
 
 
+def make_avi(
+    frames: list[list[list[tuple[int, int, int]]]], fps: int = 10
+) -> bytes:
+    """Minimal uncompressed AVI writer: RIFF 'AVI ' with one 'vids'
+    stream of BI_RGB 24-bit DIB frames ('00db' chunks, bottom-up BGR,
+    4-byte row stride) plus a spec-complete idx1 index. INDEPENDENT of
+    ``kernels.video_kernel`` (own writer ≠ parser).
+
+    ``frames``: list of H×W rows of (r, g, b) tuples, equal dims, row 0 =
+    top (the writer flips to DIB order itself)."""
+    import struct as _st
+
+    h = len(frames[0])
+    w = len(frames[0][0])
+    stride = (w * 3 + 3) & ~3
+    frame_blobs = []
+    for frame in frames:
+        body = bytearray()
+        for row in reversed(frame):  # DIB is bottom-up
+            rb = bytearray()
+            for r, g, b in row:
+                rb += bytes((b, g, r))  # and BGR
+            rb += b"\x00" * (stride - len(rb))
+            body += rb
+        frame_blobs.append(bytes(body))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + _st.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    uspf = 1_000_000 // max(fps, 1)
+    avih = _st.pack(
+        "<14I", uspf, stride * h * fps, 0, 0x10, len(frames), 0, 1,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsDIB "
+        + _st.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), stride * h, 0xFFFFFFFF, 0)
+        + _st.pack("<4H", 0, 0, w, h)
+    )
+    strf = _st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00db", blob) for blob in frame_blobs)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame (offset from 'movi' fourcc, keyframe flag)
+    idx = bytearray()
+    off = 4
+    for blob in frame_blobs:
+        idx += b"00db" + _st.pack("<III", 0x10, off, len(blob))
+        off += 8 + len(blob) + (len(blob) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + _st.pack("<I", len(body)) + body
+
+
 def _jpeg_zigzag() -> list[tuple[int, int]]:
     """Spec zigzag order generated from its geometric rule (diagonal
     d = row+col ascending; odd diagonals walk row-increasing) — shared
