@@ -192,6 +192,9 @@ def _decode(b: bytes) -> np.ndarray | None:
         if b[pos] != 0xFF:
             raise JpegError("marker sync lost")
         marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte (B.1.1.2) — spec-legal padding
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI before any scan
             return None
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
