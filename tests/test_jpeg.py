@@ -172,6 +172,26 @@ def test_roundtrip_property(w, h, quality, sub, gray, seed):
     # structured-input tests above carry the tight bounds
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    pos=st.integers(0, 10_000),
+    val=st.integers(0, 255),
+    seed=st.integers(0, 2**16),
+)
+def test_corruption_fuzz_never_raises(pos, val, seed):
+    """D2 containment under byte corruption: a mutated payload decodes to
+    None or a valid array — never an exception escaping decode_jpeg."""
+    rng = random.Random(seed)
+    px = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(12)]
+        for _ in range(10)
+    ]
+    b = bytearray(make_jpeg(px, quality=80, subsample=seed % 2 == 0))
+    b[pos % len(b)] = val
+    got = decode_jpeg(bytes(b))
+    assert got is None or (got.dtype == np.uint8 and got.ndim == 3)
+
+
 def test_operator_surface_sees_real_jpeg_pixels(spark):
     """image_features / image_resize / media_metadata over JPEG payloads:
     decoded=true, features equal the direct pixel math, thumbs equal the

@@ -192,6 +192,34 @@ def test_frame_sample_real_avi(spark):
     assert all(not r["decoded"] for r in by_url["u/trunc.avi"])
 
 
+def test_avi_corruption_fuzz_contained():
+    """D2 containment for the AVI demux: a mutated payload either fails
+    to open (None), or its iterator yields valid frames / raises AviError
+    — never any other exception (frame_sample catches exactly AviError,
+    so anything else would fail the Spark task)."""
+    import random
+
+    from universal_text_extractor_spark.kernels.video_kernel import AviError, open_avi
+    from universal_text_extractor_spark.sources.pages_gen import make_avi
+
+    frames = [[[(v, v, v)] * 9 for _ in range(6)] for v in (0, 120, 255)]
+    base = make_avi(frames, fps=5)
+    rng = random.Random(99)
+    for _ in range(300):
+        b = bytearray(base)
+        for _k in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        opened = open_avi(bytes(b))
+        if opened is None:
+            continue
+        w, h, it = opened
+        try:
+            for _delay, canvas in it:
+                assert canvas.shape == (h, w, 3)
+        except AviError:
+            pass
+
+
 def test_audio_features(spark, media_df):
     out = M.audio_features(media_df).collect()
     assert all(len(r["features"]) == M.AUDIO_FEATURE_DIM for r in out)
