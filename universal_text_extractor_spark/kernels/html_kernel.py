@@ -36,28 +36,27 @@ _TAG_NAME_RE = re.compile(r"[A-Za-z][-A-Za-z0-9:_]*")
 _WS_SPLIT_RE = re.compile(r"\s+")
 
 
-class _Tok:
-    __slots__ = ("kind", "data", "attrs")
+def _tokenize(src: str) -> Iterator[tuple[str, str]]:
+    """Tolerant HTML tokenizer. Never raises on malformed input.
 
-    def __init__(self, kind: str, data: str, attrs: dict | None = None):
-        self.kind = kind  # 'start' | 'end' | 'text' | 'startend'
-        self.data = data
-        self.attrs = attrs or {}
-
-
-def _tokenize(src: str) -> Iterator[_Tok]:
-    """Tolerant HTML tokenizer. Never raises on malformed input."""
+    Yields (kind, data) tuples, kind ∈ 'start' | 'end' | 'text' |
+    'startend'. Attributes are scanned (the closing '>' must be found
+    with the same quote-aware walk) but never materialized — no consumer
+    reads them, and the extraction hot path spends most of its time here
+    (SURVEY §8: plain tuples + no per-tag dict ≈ 25% off the HTML
+    kernel)."""
     i, n = 0, len(src)
+    low: str | None = None  # lazily lowered ONCE for rawtext close scans
     while i < n:
         lt = src.find("<", i)
         if lt < 0:
             if i < n:
-                yield _Tok("text", src[i:])
+                yield ("text", src[i:])
             return
         if lt > i:
-            yield _Tok("text", src[i:lt])
+            yield ("text", src[i:lt])
         if lt + 1 >= n:
-            yield _Tok("text", src[lt:])
+            yield ("text", src[lt:])
             return
         c = src[lt + 1]
         if c == "!":
@@ -77,21 +76,21 @@ def _tokenize(src: str) -> Iterator[_Tok]:
             end = src.find(">", lt)
             if m is None or end < 0:
                 # stray "</" with no tag — emit '<' as text like a browser would
-                yield _Tok("text", src[lt])
+                yield ("text", src[lt])
                 i = lt + 1
                 continue
-            yield _Tok("end", m.group(0).lower())
+            yield ("end", m.group(0).lower())
             i = end + 1
             continue
         m = _TAG_NAME_RE.match(src, lt + 1)
         if m is None:
-            yield _Tok("text", src[lt])
+            yield ("text", src[lt])
             i = lt + 1
             continue
         name = m.group(0).lower()
-        # parse to the closing '>', respecting quoted attribute values
+        # scan to the closing '>', respecting quoted attribute values —
+        # same control flow as attribute parsing, minus the storage
         j = m.end()
-        attrs: dict[str, str] = {}
         while j < n:
             ch = src[j]
             if ch == ">":
@@ -102,7 +101,12 @@ def _tokenize(src: str) -> Iterator[_Tok]:
                 continue
             if ch.isalpha() or ch == "_":
                 am = _TAG_NAME_RE.match(src, j)
-                aname = am.group(0).lower()
+                # .group first: byte-identical fallback-log crash parity
+                # with the attribute-name read this scan replaced (am is
+                # None for non-ASCII "alpha" or '_'-led names; the
+                # AttributeError routes to the regex floor, reference
+                # :966-971, with the exception text in the logs column)
+                am.group(0)
                 j = am.end()
                 while j < n and src[j] in " \t\r\n":
                     j += 1
@@ -112,32 +116,28 @@ def _tokenize(src: str) -> Iterator[_Tok]:
                         j += 1
                     if j < n and src[j] in "\"'":
                         q = src.find(src[j], j + 1)
-                        attrs[aname] = src[j + 1 : q] if q >= 0 else src[j + 1 :]
                         j = n if q < 0 else q + 1
                     else:
-                        k = j
-                        while k < n and src[k] not in " \t\r\n>":
-                            k += 1
-                        attrs[aname] = src[j:k]
-                        j = k
-                else:
-                    attrs[aname] = ""
+                        while j < n and src[j] not in " \t\r\n>":
+                            j += 1
                 continue
             j += 1
         if j >= n:  # unterminated tag: swallow rest
-            yield _Tok("start", name, attrs)
+            yield ("start", name)
             return
         selfclose = src[j - 1] == "/" if j > lt + 1 else False
-        yield _Tok("startend" if selfclose else "start", name, attrs)
+        yield ("startend" if selfclose else "start", name)
         i = j + 1
         # raw-text element: consume up to the matching close tag verbatim
         if not selfclose and name in _RAWTEXT_STRIP + _RCDATA:
-            close = src.lower().find("</" + name, i)
+            if low is None:
+                low = src.lower()
+            close = low.find("</" + name, i)
             raw = src[i:] if close < 0 else src[i:close]
             if name in _RCDATA:
-                yield _Tok("text", raw)
+                yield ("text", raw)
             # script/style content is dropped entirely (reference :951-952)
-            yield _Tok("end", name)
+            yield ("end", name)
             if close < 0:
                 return
             gt = src.find(">", close)
@@ -150,27 +150,34 @@ def _walk(src: str):
     title: str | None = None
     in_title = 0
     texts: list[str] = []
-    for tok in _tokenize(src):
-        if tok.kind == "start" and tok.data == "title":
-            in_title += 1
-        elif tok.kind == "end" and tok.data == "title":
-            in_title = max(0, in_title - 1)
-        elif tok.kind == "text":
-            decoded = _htmllib.unescape(tok.data)
+    unescape = _htmllib.unescape
+    append = texts.append
+    for kind, data in _tokenize(src):
+        if kind == "text":
+            decoded = unescape(data)
             if in_title:
                 if title is None:
                     title = decoded
             else:
-                texts.append(decoded)
+                append(decoded)
+        elif kind == "start" and data == "title":
+            in_title += 1
+        elif kind == "end" and data == "title":
+            in_title = max(0, in_title - 1)
     return title, texts
 
 
 def _cleanup(text: str) -> str:
     """Exact whitespace-chunking of the reference
     (reference utils/file_handlers.py:957-960)."""
-    lines = (line.strip() for line in text.splitlines())
-    chunks = (phrase.strip() for line in lines for phrase in line.split("  "))
-    return "\n".join(chunk for chunk in chunks if chunk)
+    out: list[str] = []
+    append = out.append
+    for line in text.splitlines():
+        for phrase in line.strip().split("  "):
+            chunk = phrase.strip()
+            if chunk:
+                append(chunk)
+    return "\n".join(out)
 
 
 def regex_strip_tags(src: str) -> str:
@@ -237,39 +244,39 @@ def extract_main_content(src: str) -> str:
             blocks.append((joined, cur_total, cur_link, cur_heading))
         cur, cur_link, cur_total, cur_heading = [], 0, 0, False
 
-    for tok in _tokenize(src):
-        if tok.kind in ("start", "startend"):
-            if tok.data == "title":
-                title_depth += 1 if tok.kind == "start" else 0
+    for kind, data in _tokenize(src):
+        if kind in ("start", "startend"):
+            if data == "title":
+                title_depth += 1 if kind == "start" else 0
                 continue
-            if tok.data in _BOILERPLATE_TAGS:
-                if tok.kind == "start":
+            if data in _BOILERPLATE_TAGS:
+                if kind == "start":
                     boiler_depth += 1
                 continue
-            if tok.data == "a" and tok.kind == "start":
+            if data == "a" and kind == "start":
                 anchor_depth += 1
-            if tok.data in _BLOCK_TAGS:
+            if data in _BLOCK_TAGS:
                 flush()
-                if tok.data[0] == "h" and tok.data[1:].isdigit():
-                    heading_depth += 1 if tok.kind == "start" else 0
+                if data[0] == "h" and data[1:].isdigit():
+                    heading_depth += 1 if kind == "start" else 0
                     cur_heading = True
-        elif tok.kind == "end":
-            if tok.data == "title":
+        elif kind == "end":
+            if data == "title":
                 title_depth = max(0, title_depth - 1)
                 continue
-            if tok.data in _BOILERPLATE_TAGS:
+            if data in _BOILERPLATE_TAGS:
                 boiler_depth = max(0, boiler_depth - 1)
                 continue
-            if tok.data == "a":
+            if data == "a":
                 anchor_depth = max(0, anchor_depth - 1)
-            if tok.data in _BLOCK_TAGS:
+            if data in _BLOCK_TAGS:
                 flush()
-                if tok.data[0] == "h" and tok.data[1:].isdigit():
+                if data[0] == "h" and data[1:].isdigit():
                     heading_depth = max(0, heading_depth - 1)
-        elif tok.kind == "text":
+        elif kind == "text":
             if boiler_depth or title_depth:
                 continue
-            decoded = _htmllib.unescape(tok.data)
+            decoded = _htmllib.unescape(data)
             stripped = _WS_SPLIT_RE.sub(" ", decoded).strip()
             if not stripped:
                 continue
