@@ -63,6 +63,13 @@ def _skip_ws(b: bytes, i: int) -> int:
     return i
 
 
+_NUM_RE = re.compile(rb"[-+]?\d+(\.\d*)?|[-+]?\.\d+")
+_REF_RE = re.compile(rb"\s+(\d+)\s+R\b")
+_KEYWORD_RE = re.compile(rb"true|false|null")
+_HEX_JUNK_RE = re.compile(rb"[^0-9A-Fa-f]")
+_LIT_SPECIAL_RE = re.compile(rb"[\\()]")
+
+
 def _parse_obj(b: bytes, i: int):
     """Parse one PDF object at offset i. Returns (value, next_offset)."""
     i = _skip_ws(b, i)
@@ -102,23 +109,25 @@ def _parse_obj(b: bytes, i: int):
         j = b.find(b">", i + 1)
         if j < 0:
             j = n
-        hx = re.sub(rb"[^0-9A-Fa-f]", b"", b[i + 1 : j])
+        hx = _HEX_JUNK_RE.sub(b"", b[i + 1 : j])
         if len(hx) % 2:
             hx += b"0"
         return bytes.fromhex(hx.decode("ascii")), j + 1
-    m = re.match(rb"[-+]?\d+(\.\d*)?|[-+]?\.\d+", b[i : i + 32])
+    # pos/endpos matching ≡ the former b[i:i+32]-slice semantics (endpos
+    # behaves as end-of-string, incl. for \b), minus the slice allocation
+    m = _NUM_RE.match(b, i, i + 32)
     if m:
         tok = m.group(0)
-        j = i + len(tok)
+        j = m.end()
         # reference-style indirect reference: N G R
-        m2 = re.match(rb"\s+(\d+)\s+R\b", b[j : j + 16])
+        m2 = _REF_RE.match(b, j, j + 16)
         if m2 and b"." not in tok:
-            return _Ref(int(tok)), j + m2.end()
+            return _Ref(int(tok)), m2.end()
         return (float(tok) if b"." in tok else int(tok)), j
-    m = re.match(rb"true|false|null", b[i : i + 5])
+    m = _KEYWORD_RE.match(b, i, i + 5)
     if m:
         val = {b"true": True, b"false": False, b"null": None}[m.group(0)]
-        return val, i + m.end()
+        return val, m.end()
     return None, i + 1  # unknown token: skip a byte
 
 
@@ -130,6 +139,17 @@ def _parse_literal_string(b: bytes, i: int) -> tuple[bytes, int]:
     i += 1
     n = len(b)
     while i < n and depth:
+        # bulk-copy the run up to the next escape/paren (C-speed scan);
+        # the per-byte logic below only ever handles special bytes
+        m = _LIT_SPECIAL_RE.search(b, i)
+        if m is None:
+            out += b[i:n]
+            i = n
+            break
+        k = m.start()
+        if k > i:
+            out += b[i:k]
+            i = k
         c = b[i]
         if c == 0x5C and i + 1 < n:  # backslash
             e = b[i + 1]
@@ -306,11 +326,11 @@ def _content_text(content: bytes) -> str:
             v, i = _parse_obj(content, i)
             stack.append(v)
             continue
-        m = re.match(rb"[-+]?\d+(\.\d*)?|[-+]?\.\d+", content[i : i + 32])
+        m = _NUM_RE.match(content, i, i + 32)
         if m:
             tok = m.group(0)
             stack.append(float(tok) if b"." in tok else int(tok))
-            i += len(tok)
+            i = m.end()
             continue
         m = _OP_RE.match(content, i)
         if not m:
