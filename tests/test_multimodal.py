@@ -255,3 +255,26 @@ def test_no_shuffle_in_plan(spark, media_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_audio_features_ima_adpcm(spark):
+    """IMA-ADPCM WAV (a REAL compressed codec, format tag 0x11) decodes
+    to real energy features — and they approximate the same clip's PCM
+    features (lossy codec ⇒ tolerance, not equality)."""
+    import random
+
+    from universal_text_extractor_spark.sources.pages_gen import make_wav
+
+    pcm = make_wav(random.Random(41), n_samples=6000)
+    adp = make_wav(random.Random(41), n_samples=6000, codec="ima_adpcm")
+    df = spark.createDataFrame(
+        [("u/a.wav", pcm), ("u/b.wav", adp)], "url string, payload binary"
+    )
+    rows = {r["url"]: r for r in M.audio_features(df).collect()}
+    assert rows["u/a.wav"]["decoded"] is True
+    assert rows["u/b.wav"]["decoded"] is True
+    got = rows["u/b.wav"]["features"]
+    want = rows["u/a.wav"]["features"]
+    assert any(x > 0 for x in want)
+    for g, w in zip(got, want):
+        assert abs(g - w) <= max(0.25 * w, 0.02), (g, w)

@@ -200,3 +200,111 @@ def test_msg_roundtrip_random(sender, to, subject, body):
     assert text == (
         f"From: {sender}\nTo: {to}\nSubject: {subject}\nDate: None\n\n{body}"
     )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(200, 3000),
+)
+def test_wav_ima_adpcm_roundtrip(seed, n_samples):
+    """make_wav(codec='ima_adpcm') → decode_wav recovers the PCM signal
+    within the codec's quantization bound. IMA ADPCM is lossy (4-bit
+    residual quantizer), so the contract is a tolerance on RMS error
+    relative to the quantizer's own step sizes, not byte equality —
+    same contract class as the JPEG round trip."""
+    import random
+
+    from universal_text_extractor_spark.kernels.audio_kernel import decode_wav
+    from universal_text_extractor_spark.sources.pages_gen import make_wav
+
+    ref_rate, ref = decode_wav(make_wav(random.Random(seed), n_samples=n_samples))
+    got_rate, got = decode_wav(
+        make_wav(random.Random(seed), n_samples=n_samples, codec="ima_adpcm")
+    )
+    assert got_rate == ref_rate
+    # final-block nibble padding may append a short reconstructed tail
+    assert len(ref) <= len(got) <= len(ref) + 512
+    # ENVELOPE bound only, measured past the adaptation transient (the
+    # step size starts at 7 and needs ~100 samples to lock onto a loud
+    # carrier): make_wav's signal (triangle with period as short as 20
+    # samples + a noise floor) sits near the adaptive quantizer's
+    # slew-rate worst case, so corpus-signal error is codec-inherent,
+    # not an implementation defect — the tight fidelity bound lives in
+    # test_wav_ima_adpcm_smooth_signal below.
+    s = min(128, n_samples // 2)
+    err = np.sqrt(((ref[s:] - got[s : len(ref)]) ** 2).mean())
+    amp = np.sqrt((ref**2).mean())
+    assert err <= max(0.5 * amp, 0.03), (err, amp)
+
+
+def test_wav_ima_adpcm_smooth_signal():
+    """Fidelity bound on a signal inside the codec's design envelope
+    (slow sine, slope « max step): encoder+decoder track within 1% RMS.
+    This is the bound that separates 'lossy codec' from 'broken
+    implementation' — the corpus round-trip above only checks the
+    containment envelope because its carrier is a slew-rate torture
+    signal."""
+    import struct
+
+    from universal_text_extractor_spark.kernels.audio_kernel import decode_wav
+    from universal_text_extractor_spark.sources.pages_gen import _ima_adpcm_encode
+
+    sig = [int(20000 * np.sin(2 * np.pi * t / 400)) for t in range(2000)]
+    data = _ima_adpcm_encode(sig, block_align=256)
+    spb = (256 - 4) * 2 + 1
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4125, 256, 4, 2, spb)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    _rate, got = decode_wav(payload)
+    ref = np.array(sig, dtype=np.float64) / 32768.0
+    err = np.sqrt(((ref - got[: len(ref)]) ** 2).mean())
+    amp = np.sqrt((ref**2).mean())
+    assert err <= 0.01 * amp, (err, amp)
+
+
+def test_ima_adpcm_known_block():
+    """decode_wav against an ADPCM block packed BY HAND with samples
+    computed BY HAND from the published IMA tables (independent of both
+    the kernel loop and the writer's encoder): header pred=100 index=0
+    (step 7); nibble 0x3 → diff 3+1=4 → 104; nibble 0x8 (sign, zero
+    magnitude) → diff -0 → 104."""
+    import struct
+
+    from universal_text_extractor_spark.kernels.audio_kernel import decode_wav
+
+    block = struct.pack("<hBB", 100, 0, 0) + bytes([0x83])  # low nibble first
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 5, 4, 2, 3)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(block)) + block
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, got = decode_wav(payload)
+    assert rate == 8000
+    assert np.allclose(got * 32768.0, [100.0, 104.0, 104.0])
+
+
+def test_ima_adpcm_containment():
+    """Malformed ADPCM (step index > 88, trailing fragment) → None,
+    never a raise (D2)."""
+    import random
+    import struct
+
+    from universal_text_extractor_spark.kernels.audio_kernel import decode_wav
+    from universal_text_extractor_spark.sources.pages_gen import make_wav
+
+    good = make_wav(random.Random(3), n_samples=1000, codec="ima_adpcm")
+    assert decode_wav(good) is not None
+    # corrupt the first block's step index to 200 (data chunk starts at
+    # RIFF(12) + fmt hdr(8) + fmt(20) + data hdr(8); index byte at +2)
+    bad = bytearray(good)
+    bad[12 + 8 + 20 + 8 + 2] = 200
+    assert decode_wav(bytes(bad)) is None
+    # trailing fragment shorter than a block header
+    frag = good + b"\x01\x02"
+    frag = bytearray(frag)
+    # patch the data chunk length to include the fragment
+    (dlen,) = struct.unpack_from("<I", frag, 12 + 8 + 20 + 4)
+    struct.pack_into("<I", frag, 12 + 8 + 20 + 4, dlen + 2)
+    struct.pack_into("<I", frag, 4, len(frag) - 8)
+    assert decode_wav(bytes(frag)) is None

@@ -15,15 +15,16 @@ column (BASELINE.json input_hint). Four operators:
 - :func:`frame_sample` — one output row per sampled frame (1→many,
   UDTF-shaped via ``mapInPandas``); REAL demuxed frames for animated GIF
   (from-scratch LZW, r3) and uncompressed AVI (RIFF/DIB demux, r3).
-- :func:`audio_features` — REAL windowed RMS energy for RIFF/PCM WAV (r3).
+- :func:`audio_features` — REAL windowed RMS energy for RIFF WAV, both
+  PCM and IMA-ADPCM compressed (r3).
 
 DECODE IS REAL FOR EVERY IMAGE FORMAT THE ENGINE EMITS METADATA FOR
 (BMP, PNG, animated GIF, baseline JPEG — Huffman+IDCT in
-kernels/jpeg_kernel.py — plus PCM WAV audio and uncompressed-AVI video;
-all hand-rolled from the public specs, no codec libraries); formats that
-genuinely require codecs absent from this container (MP3/AAC, H.264-
-class video, progressive JPEG) keep a clearly-marked deterministic
-digest stand-in, flagged per row by
+kernels/jpeg_kernel.py — plus PCM + IMA-ADPCM WAV audio and
+uncompressed-AVI video; all hand-rolled from the public specs, no codec
+libraries); formats that genuinely require transform codecs absent from
+this container (MP3/AAC, H.264-class video, progressive JPEG) keep a
+clearly-marked deterministic digest stand-in, flagged per row by
 ``decoded`` — swapping it for a codec changes no schema, no
 partitioning, and no Spark code.
 
@@ -366,9 +367,10 @@ def audio_features(
     df: DataFrame, url_col: str = "url", payload_col: str = "payload"
 ) -> DataFrame:
     """MFCC-shaped per-clip feature vector (array<float>[20]) — REAL
-    windowed RMS energy for RIFF/PCM WAV payloads
-    (kernels/audio_kernel.py); compressed formats (no codecs in this
-    sandbox) keep the digest fallback, flagged by ``decoded``."""
+    windowed RMS energy for RIFF WAV payloads, PCM and IMA-ADPCM
+    compressed (kernels/audio_kernel.py); transform codecs (MP3/AAC —
+    no codec libraries in this sandbox) keep the digest fallback,
+    flagged by ``decoded``."""
     return df.select(
         F.col(url_col).alias("url"),
         _audio_features_udf(F.col(payload_col)).alias("m"),

@@ -562,15 +562,19 @@ def make_wav(
     rate: int = 8000,
     channels: int = 1,
     bits: int = 16,
+    codec: str = "pcm",
 ) -> bytes:
-    """Minimal RIFF/PCM WAV writer — INDEPENDENT of
+    """Minimal RIFF WAV writer — INDEPENDENT of
     ``kernels.audio_kernel`` (own writer ≠ parser). Integer-only
     synthesis (triangle carrier with per-segment amplitude steps + LCG
     noise) so payloads are byte-deterministic across platforms — no
-    float trig anywhere."""
+    float trig anywhere. ``codec="pcm"`` (default, byte-identical to the
+    pre-ADPCM writer) or ``codec="ima_adpcm"`` — the encoder direction
+    of the published IMA spec, written here independently of the
+    kernel's decoder loop (mono 4-bit, 256-byte blocks)."""
     import struct as _st
 
-    frames = []
+    signal = []
     period = rng.randint(20, 120)
     seg = max(n_samples // 8, 1)
     amps = [rng.randint(0, 28000) for _ in range(8 + 1)]
@@ -581,18 +585,102 @@ def make_wav(
         tri = abs(ph - period // 2) - period // 4
         val = (tri * amp * 4) // max(period, 1)
         val += rng.randint(-500, 500)  # noise floor
-        val = max(-32768, min(32767, val))
-        for _c in range(channels):
-            if bits == 16:
-                frames.append(_st.pack("<h", val))
-            else:
-                frames.append(bytes([max(0, min(255, (val >> 8) + 128))]))
-    data = b"".join(frames)
-    bps = rate * channels * (bits // 8)
-    fmt = _st.pack("<HHIIHH", 1, channels, rate, bps, channels * (bits // 8), bits)
+        signal.append(max(-32768, min(32767, val)))
+
+    if codec == "ima_adpcm":
+        if channels != 1:
+            raise ValueError("ADPCM writer is mono-only")
+        data = _ima_adpcm_encode(signal, block_align=256)
+        spb = (256 - 4) * 2 + 1  # header sample + 2 nibbles per body byte
+        bps = (rate * 256 + spb - 1) // spb
+        fmt = _st.pack("<HHIIHHHH", 0x11, 1, rate, bps, 256, 4, 2, spb)
+    else:
+        frames = []
+        for val in signal:
+            for _c in range(channels):
+                if bits == 16:
+                    frames.append(_st.pack("<h", val))
+                else:
+                    frames.append(bytes([max(0, min(255, (val >> 8) + 128))]))
+        data = b"".join(frames)
+        bps = rate * channels * (bits // 8)
+        fmt = _st.pack(
+            "<HHIIHH", 1, channels, rate, bps, channels * (bits // 8), bits
+        )
     body = b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
     body += b"data" + _st.pack("<I", len(data)) + data
     return b"RIFF" + _st.pack("<I", len(body)) + body
+
+
+# IMA ADPCM spec constants (quantizer steps + index adjust) — the same
+# published tables the kernel uses; the encoder LOOP below is this
+# writer's own (quantize-against-step comparisons), not a copy of the
+# kernel's reconstruction loop.
+_IMA_ENC_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_ENC_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_encode(signal: list[int], block_align: int = 256) -> bytes:
+    """Mono IMA ADPCM encoder: per 256-byte block, a 4-byte header
+    (current predictor as sample 0, step index, reserved) + 4-bit codes
+    packed low-nibble-first. Quantizes each delta by successive
+    step/step÷2/step÷4 comparisons, then tracks the decoder's
+    reconstruction so predictor state never drifts from what a reader
+    will compute."""
+    import struct as _st
+
+    out = []
+    pred, index = 0, 0
+    pos = 0
+    spb = (block_align - 4) * 2 + 1
+    while pos < len(signal):
+        block_samples = signal[pos : pos + spb]
+        pos += spb
+        pred = max(-32768, min(32767, block_samples[0]))
+        out.append(_st.pack("<hBB", pred, index, 0))
+        nibbles = []
+        for sample in block_samples[1:]:
+            step = _IMA_ENC_STEPS[index]
+            delta = sample - pred
+            code = 0
+            if delta < 0:
+                code = 8
+                delta = -delta
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            # mirror the reconstruction so the predictor tracks the reader
+            rec = step >> 3
+            if code & 4:
+                rec += step
+            if code & 2:
+                rec += step >> 1
+            if code & 1:
+                rec += step >> 2
+            pred = pred - rec if code & 8 else pred + rec
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + _IMA_ENC_INDEX[code & 7]))
+            nibbles.append(code)
+        if len(nibbles) % 2:
+            nibbles.append(0)  # pad nibble (decoded as a tiny tail blip)
+        body = bytes(
+            nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+        )
+        out.append(body.ljust(block_align - 4, b"\x00"))
+    return b"".join(out)
 
 
 def make_gif(
