@@ -107,10 +107,15 @@ def test_decode_containment_and_unsupported():
     assert decode_jpeg(b"\xff\xd8\xff\x00junk") is None
     assert decode_jpeg(b"\xff\xd8" + bytes(100)) is None
     good = bytearray(make_jpeg(_gradient(16, 16), quality=90))
-    # progressive SOF2 → None (honest unsupported, not a wrong answer)
+    # SOF0 patched to SOF2: the frame claims progressive but its scan
+    # header is baseline-shaped (Ss=0, Se=63 — illegal for a progressive
+    # DC scan, G.1.1.1.1) → contained to None, not a crash
     sof = good.find(b"\xff\xc0")
     prog = bytes(good[:sof]) + b"\xff\xc2" + bytes(good[sof + 2 :])
     assert decode_jpeg(prog) is None
+    # arithmetic-coded SOF9 → None (honest unsupported)
+    arith = bytes(good[:sof]) + b"\xff\xc9" + bytes(good[sof + 2 :])
+    assert decode_jpeg(arith) is None
     # truncated entropy stream → None
     assert decode_jpeg(bytes(good[: len(good) // 2])) is None
 
@@ -130,10 +135,96 @@ def test_golden_bytes_and_pixels_pinned():
     arr = decode_jpeg(b)
     assert hashlib.sha256(b).hexdigest() == GOLDEN_BYTES
     assert hashlib.sha256(arr.tobytes()).hexdigest() == GOLDEN_PIXELS
+    p = make_jpeg(px, quality=90, subsample=True, restart_interval=2, progressive=True)
+    assert hashlib.sha256(p).hexdigest() == GOLDEN_PROG_BYTES
+    # and the progressive twin decodes to the SAME pinned pixels
+    assert hashlib.sha256(decode_jpeg(p).tobytes()).hexdigest() == GOLDEN_PIXELS
 
 
 GOLDEN_BYTES = "56a5d775eac7276cb1f237b7887fc0cdaac5b14ce3d3da4cd05b157535b35926"
 GOLDEN_PIXELS = "987234cfa4e3dd00fcda7716655e1cb8acdc5dcc8a65b1520680c30a4f99efee"
+GOLDEN_PROG_BYTES = "c7aa71c22ef80befe67d91901428f0fd3f69bffcb2652afe6bb8da3c647b3875"
+def test_progressive_equals_baseline_exactly():
+    """The §G scan script accumulates the SAME quantized coefficients a
+    baseline scan codes in one pass, so the decoded arrays must be
+    bit-identical twins — an exact oracle despite JPEG's lossiness."""
+    cases = [
+        (_gradient(49, 33), dict(quality=95)),
+        (_gradient(49, 33), dict(quality=80, subsample=True)),
+        (_gradient(16, 16), dict(quality=50)),  # sparse AC → long EOB runs
+        (_gradient(40, 24), dict(quality=85, subsample=True, restart_interval=2)),
+        (_gradient(31, 22), dict(quality=90, restart_interval=1)),
+    ]
+    for px, kw in cases:
+        base = decode_jpeg(make_jpeg(px, **kw))
+        prog = decode_jpeg(make_jpeg(px, progressive=True, **kw))
+        assert base is not None and prog is not None, kw
+        assert prog.shape == base.shape and (prog == base).all(), kw
+
+
+def test_progressive_gray_and_tiny():
+    gray = [[(x * 9 + y) % 256 for x in range(26)] for y in range(18)]
+    b = decode_jpeg(make_jpeg(gray, color="gray", quality=92))
+    p = decode_jpeg(make_jpeg(gray, color="gray", quality=92, progressive=True))
+    assert (p == b).all()
+    for w, h in ((1, 1), (3, 2), (7, 9), (8, 8), (17, 16)):
+        px = [[(x * 31 % 256, y * 17 % 256, 50) for x in range(w)] for y in range(h)]
+        for sub in (False, True):
+            bb = decode_jpeg(make_jpeg(px, quality=95, subsample=sub))
+            pp = decode_jpeg(make_jpeg(px, quality=95, subsample=sub, progressive=True))
+            assert pp is not None and (pp == bb).all(), (w, h, sub)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    quality=st.integers(55, 100),
+    sub=st.booleans(),
+    gray=st.booleans(),
+    ri=st.integers(0, 4),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_progressive_equals_baseline_property(w, h, quality, sub, gray, ri, seed):
+    """Random noise maximizes AC density / EOB-run / refinement-bit
+    diversity; restart intervals exercise per-scan resync. Progressive
+    must equal baseline exactly on every layout."""
+    rng = random.Random(seed)
+    if gray:
+        px = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        kw = dict(color="gray", quality=quality, restart_interval=ri)
+    else:
+        px = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        kw = dict(quality=quality, subsample=sub, restart_interval=ri)
+    base = decode_jpeg(make_jpeg(px, **kw))
+    prog = decode_jpeg(make_jpeg(px, progressive=True, **kw))
+    assert base is not None and prog is not None
+    assert (prog == base).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    pos=st.integers(0, 10_000),
+    val=st.integers(0, 255),
+    seed=st.integers(0, 2**16),
+)
+def test_progressive_corruption_fuzz_never_raises(pos, val, seed):
+    """D2 containment for the progressive decode paths too."""
+    rng = random.Random(seed)
+    px = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(12)]
+        for _ in range(10)
+    ]
+    b = bytearray(
+        make_jpeg(px, quality=80, subsample=seed % 2 == 0, progressive=True,
+                  restart_interval=seed % 3)
+    )
+    b[pos % len(b)] = val
+    got = decode_jpeg(bytes(b))
+    assert got is None or (got.dtype == np.uint8 and got.ndim == 3)
 
 
 @settings(max_examples=30, deadline=None)

@@ -1,24 +1,30 @@
-"""Baseline JPEG (JFIF) pixel decoder — the last image format promoted
-from header-only to REAL decode (VERDICT r2 missing item 2, final leg;
-GIF/BMP/PNG landed earlier in r3/r2).
+"""JPEG (JFIF) pixel decoder — baseline AND progressive, hand-rolled
+from the public ITU T.81 spec (no PIL/libjpeg).
 
-Hand-rolled from the public ITU T.81 spec (no PIL/libjpeg): marker walk
-(DQT incl. 16-bit tables, DHT, SOF0, DRI, SOS), canonical Huffman decode
-over the unstuffed entropy stream, restart-marker resync, dequantize +
-dezigzag, orthonormal separable IDCT (float64 matrix transform — same
-determinism class as the rest of the pixel math), nearest-neighbor chroma
-upsampling for subsampled scans, and JFIF YCbCr→RGB. Supported: baseline
-sequential (SOF0), 8-bit, 1 or 3 components, sampling factors 1-2 (covers
-4:4:4, 4:2:2, 4:2:0 and grayscale). Progressive (SOF2), arithmetic
-coding, 12-bit, and CMYK scans return None — containment, not a crash
-(D2).
+Architecture (r3, progressive rewrite): a marker walk feeds every SOS
+into a per-component COEFFICIENT STORE; scans accumulate coefficients
+(baseline = one interleaved scan; progressive = any legal script of
+spectral-selection / successive-approximation scans, §G.2: DC
+first/refine, AC first with EOB runs, AC refinement with correction
+bits, non-interleaved single-component scan geometry, restart resync in
+every scan kind); EOI triggers the finish pass — dequantize + dezigzag,
+batched orthonormal IDCT (one einsum per component), nearest-neighbor
+chroma upsampling, JFIF YCbCr→RGB. Supported: 8-bit, 1 or 3 components,
+sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0, grayscale), SOF0 + SOF2,
+multi-scan sequential. Arithmetic coding, 12-bit, lossless, and CMYK
+return None — containment, not a crash (D2).
+
+Progressive reconstruction is EXACT: once every scan is consumed the
+coefficient store is bit-identical to what a baseline scan of the same
+quantized coefficients yields, so a progressive encode of the same
+pixels decodes to the SAME array as its baseline twin — that equality
+is the test oracle (tests/test_jpeg.py).
 
 The synthetic corpus is produced by the INDEPENDENT spec-based writer
-``sources.pages_gen.make_jpeg`` (own Annex-K tables and fDCT — writer ≠
-parser). JPEG is lossy by construction, so the round-trip contract is a
-TOLERANCE bound (tests/test_jpeg.py), not the byte-exact writer-pixel
-oracle the PNG/BMP paths carry — that is a property of the format, not
-of this implementation.
+``sources.pages_gen.make_jpeg`` (own Annex-K-style tables, own fDCT,
+own progressive scan-script emitter — writer ≠ parser). JPEG is lossy
+by construction, so the pixel round-trip contract is a TOLERANCE bound,
+not the byte-exact writer-pixel oracle the PNG/BMP paths carry.
 
 Reference ancestry: utils/file_handlers.py:198-207 reads JPEG metadata
 via PIL; utils/image_processing.py decodes pixels via PIL/OpenCV. This
@@ -155,6 +161,11 @@ class _BitReader:
             raise JpegError("restart marker mismatch")
         self.pos = p + 2
 
+    def end_of_scan_pos(self) -> int:
+        """Byte position just past this scan's entropy data (discarding
+        the final partial byte's pad bits)."""
+        return self.pos
+
 
 def _extend(value: int, size: int) -> int:
     """T.81 F.12: map a SIZE-bit magnitude to its signed coefficient."""
@@ -165,14 +176,10 @@ def _extend(value: int, size: int) -> int:
     return value
 
 
-def _idct_block(coef: np.ndarray) -> np.ndarray:
-    return _M.T @ coef @ _M
-
-
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
-    """Decode a baseline JFIF payload → (H, W, 3) uint8 RGB, or None for
-    anything this decoder doesn't cover (progressive, 12-bit, CMYK,
-    corrupt) — the callers' containment contract (D2)."""
+    """Decode a baseline or progressive JFIF payload → (H, W, 3) uint8
+    RGB, or None for anything this decoder doesn't cover (arithmetic,
+    12-bit, CMYK, corrupt) — the callers' containment contract (D2)."""
     try:
         return _decode(payload)
     except Exception:
@@ -186,20 +193,25 @@ def _decode(b: bytes) -> np.ndarray | None:
     huff_dc: dict[int, _Huffman] = {}
     huff_ac: dict[int, _Huffman] = {}
     restart_interval = 0
-    frame = None  # (H, W, components)
+    frame: dict | None = None
+    saw_scan = False
     pos = 2
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise JpegError("marker sync lost")
         marker = b[pos + 1]
         if marker == 0xFF:  # fill byte (B.1.1.2) — spec-legal padding
             pos += 1
             continue
-        if marker == 0xD9:  # EOI before any scan
-            return None
+        if marker == 0xD9:  # EOI — finish
+            if frame is None or not saw_scan:
+                return None
+            return _finish(frame, qtables)
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > len(b):
+            raise JpegError("truncated marker segment")
         (seglen,) = struct.unpack_from(">H", b, pos + 2)
         seg = b[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -225,132 +237,321 @@ def _decode(b: bytes) -> np.ndarray | None:
                 vals = seg[off + 17 : off + 17 + count]
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huffman(bits, vals)
                 off += 17 + count
-        elif marker == 0xC0:  # SOF0 baseline
-            precision = seg[0]
-            h, w = struct.unpack_from(">HH", seg, 1)
-            ncomp = seg[5]
-            if precision != 8 or ncomp not in (1, 3) or not h or not w:
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise JpegError("multiple frames")
+            frame = _parse_sof(seg, progressive=(marker == 0xC2))
+            if frame is None:
                 return None
-            comps = []
-            for ci in range(ncomp):
-                cid = seg[6 + ci * 3]
-                hv = seg[7 + ci * 3]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": seg[8 + ci * 3]}
-                )
-            for c in comps:
-                if c["h"] not in (1, 2) or c["v"] not in (1, 2):
-                    return None
-            frame = (int(h), int(w), comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/lossless/arithmetic variants
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
-            return _decode_scan(
+            end = _decode_scan(
                 b, pos + 2 + seglen, seg, frame, qtables, huff_dc, huff_ac,
                 restart_interval,
             )
+            saw_scan = True
+            # skip to the next marker (pad bits already discarded)
+            pos = end
+            while pos + 1 < len(b) and not (
+                b[pos] == 0xFF and b[pos + 1] not in (0x00, 0xFF)
+            ):
+                pos += 1
+            continue
         pos += 2 + seglen
-    raise JpegError("no scan")
+    raise JpegError("no EOI")
+
+
+def _parse_sof(seg: bytes, progressive: bool) -> dict | None:
+    precision = seg[0]
+    h, w = struct.unpack_from(">HH", seg, 1)
+    ncomp = seg[5]
+    if precision != 8 or ncomp not in (1, 3) or not h or not w:
+        return None
+    comps = []
+    for ci in range(ncomp):
+        cid = seg[6 + ci * 3]
+        hv = seg[7 + ci * 3]
+        comps.append(
+            {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": seg[8 + ci * 3]}
+        )
+    for c in comps:
+        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+            return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        # MCU-padded block grid (what interleaved scans cover) and the
+        # non-interleaved grid (A.2.2: ceil of the component's own
+        # sample dims — the trailing padded blocks are NOT coded in
+        # single-component scans)
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        samples_w = -(-w * c["h"] // hmax)
+        samples_h = -(-h * c["v"] // vmax)
+        c["nbw"] = -(-samples_w // 8)
+        c["nbh"] = -(-samples_h // 8)
+        c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
+        c["pred"] = 0
+    return {
+        "H": int(h), "W": int(w), "comps": comps,
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "progressive": progressive,
+    }
 
 
 def _decode_scan(
     b: bytes,
     data_pos: int,
     seg: bytes,
-    frame,
+    frame: dict,
     qtables,
     huff_dc,
     huff_ac,
     restart_interval: int,
-):
-    H, W, comps = frame
+) -> int:
+    """Decode one entropy-coded scan into the frame's coefficient store;
+    returns the byte position just past the scan data."""
     ns = seg[0]
-    if ns != len(comps):
-        return None  # non-interleaved multi-scan not supported
-    scan_sel = {}
+    if len(seg) < 1 + 2 * ns + 3:
+        raise JpegError("short SOS")
+    by_id = {c["id"]: c for c in frame["comps"]}
+    scan_comps = []
     for si in range(ns):
         cid = seg[1 + si * 2]
         tables = seg[2 + si * 2]
-        scan_sel[cid] = (tables >> 4, tables & 0x0F)
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-W // (8 * hmax))
-    mcuy = -(-H // (8 * vmax))
-    planes = {}
-    for c in comps:
-        planes[c["id"]] = np.zeros(
-            (mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64
-        )
+        if cid not in by_id:
+            raise JpegError("scan references unknown component")
+        scan_comps.append((by_id[cid], tables >> 4, tables & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    a = seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+    prog = frame["progressive"]
+    if prog:
+        if ss == 0:
+            if se != 0:
+                raise JpegError("progressive DC scan must have Se=0")
+        else:
+            if ns != 1 or not (ss <= se <= 63):
+                raise JpegError("bad progressive AC scan header")
+        if ah and ah != al + 1:
+            raise JpegError("successive approximation must step one bit")
+        if al > 13:
+            raise JpegError("bad Al")
+    else:
+        if ss != 0 or se != 63 or ah != 0 or al != 0:
+            raise JpegError("bad sequential scan header")
+
+    # Resolve tables up front (refinement DC scans use none; AC scans
+    # only the AC table; DC-first only the DC table).
+    need_dc = ss == 0 and (not prog or ah == 0)
+    need_ac = (not prog) or ss > 0
+    for c, td, ta in scan_comps:
+        if need_dc and td not in huff_dc:
+            raise JpegError("missing DC DHT")
+        if need_ac and ta not in huff_ac:
+            raise JpegError("missing AC DHT")
         if c["tq"] not in qtables:
             raise JpegError("missing DQT")
-        td, ta = scan_sel[c["id"]]
-        if td not in huff_dc or ta not in huff_ac:
-            raise JpegError("missing DHT")
 
-    # Pass 1 (sequential by nature): Huffman-decode every block's
-    # dequantized coefficients. Pass 2 (vectorized): batched IDCT.
+    # MCU geometry: interleaved scans walk the MCU grid; a
+    # single-component scan's "MCU" is one block over the component's
+    # own (non-padded) block grid.
+    if ns > 1 or not prog:
+        if ns != len(frame["comps"]) and ns != 1:
+            raise JpegError("partial interleave not supported")
+    if ns == 1:
+        # non-interleaved (sequential or progressive): one block per
+        # MCU over the component's own non-padded block grid (A.2.2)
+        c0 = scan_comps[0][0]
+        nbw = c0["nbw"]
+        nbh = c0["nbh"]
+        total_mcus = nbh * nbw
+    else:
+        total_mcus = frame["mcux"] * frame["mcuy"]
+
     reader = _BitReader(b, data_pos)
-    preds = {c["id"]: 0 for c in comps}
-    blocks: list[np.ndarray] = []
-    slots: list[tuple[int, int, int]] = []  # (component id, y0, x0)
+    for c, _td, _ta in scan_comps:
+        c["pred"] = 0
+    eobrun = [0]
     rst = 0
-    for m in range(mcux * mcuy):
+    for m in range(total_mcus):
         if restart_interval and m and m % restart_interval == 0:
             reader.resync(rst)
             rst = (rst + 1) & 7
-            preds = {c["id"]: 0 for c in comps}
-        my, mx = divmod(m, mcux)
-        for c in comps:
-            q = qtables[c["tq"]]
-            dc_t = huff_dc[scan_sel[c["id"]][0]]
-            ac_t = huff_ac[scan_sel[c["id"]][1]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = reader.decode_huff(dc_t)
-                    diff = _extend(reader.read_bits(size), size)
-                    preds[c["id"]] += diff
-                    zz[0] = preds[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_huff(ac_t)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise JpegError("AC index overflow")
-                        zz[k] = _extend(reader.read_bits(s), s)
-                        k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[ZIGZAG] = zz * q
-                    blocks.append(coef.reshape(8, 8))
-                    slots.append(
-                        (c["id"], (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
-                    )
+            for c, _td, _ta in scan_comps:
+                c["pred"] = 0
+            eobrun[0] = 0
+        if ns == 1:
+            c, td, ta = scan_comps[0]
+            by, bx = divmod(m, nbw)
+            _decode_block(
+                reader, c, c["coef"][by, bx], td, ta, huff_dc, huff_ac,
+                prog, ss, se, ah, al, eobrun,
+            )
+        else:
+            my, mx = divmod(m, frame["mcux"])
+            for c, td, ta in scan_comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        _decode_block(
+                            reader, c,
+                            c["coef"][my * c["v"] + by, mx * c["h"] + bx],
+                            td, ta, huff_dc, huff_ac,
+                            prog, ss, se, ah, al, eobrun,
+                        )
+    return reader.end_of_scan_pos()
 
-    # Batched IDCT: one einsum over every block in the scan.
-    stack = np.stack(blocks)  # (n, 8, 8)
-    spatial = np.einsum("ur,nuv,vc->nrc", _M, stack, _M) + 128.0
-    for (cid, y0, x0), blk in zip(slots, spatial):
-        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
 
-    # Upsample to full resolution (sample replication), crop, color map.
+def _decode_block(
+    reader: _BitReader,
+    c: dict,
+    row: np.ndarray,
+    td: int,
+    ta: int,
+    huff_dc,
+    huff_ac,
+    prog: bool,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    eobrun: list,
+) -> None:
+    """Decode one block's contribution from the current scan into
+    ``row`` (the block's 64 zigzag-order coefficients)."""
+    if not prog:
+        # baseline: DC + full AC band in one pass
+        size = reader.decode_huff(huff_dc[td])
+        diff = _extend(reader.read_bits(size), size)
+        c["pred"] += diff
+        row[0] = c["pred"]
+        k = 1
+        while k < 64:
+            rs = reader.decode_huff(huff_ac[ta])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise JpegError("AC index overflow")
+            row[k] = _extend(reader.read_bits(s), s)
+            k += 1
+        return
+
+    if ss == 0:
+        if ah == 0:  # DC first (G.2.1): diff coded in the shifted domain
+            size = reader.decode_huff(huff_dc[td])
+            diff = _extend(reader.read_bits(size), size)
+            c["pred"] += diff
+            row[0] = c["pred"] << al
+        else:  # DC refinement: one raw bit per block
+            if reader.read_bit():
+                row[0] = int(row[0]) | (1 << al)
+        return
+
+    if ah == 0:  # AC first scan (G.2.2) with EOB runs
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_huff(huff_ac[ta])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise JpegError("AC index overflow")
+            row[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        return
+
+    # AC refinement scan (G.2.3): newly-nonzero insertions + one
+    # correction bit per already-nonzero coefficient passed.
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = reader.decode_huff(huff_ac[ta])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if reader.read_bit() else m1
+            else:
+                raise JpegError("refinement magnitude must be 1")
+            while k <= se:
+                cur = int(row[k])
+                if cur != 0:
+                    if reader.read_bit() and (cur & p1) == 0:
+                        row[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                row[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        # inside an EOB run: the rest of the band carries only
+        # correction bits for coefficients with nonzero history
+        while k <= se:
+            cur = int(row[k])
+            if cur != 0:
+                if reader.read_bit() and (cur & p1) == 0:
+                    row[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _finish(frame: dict, qtables) -> np.ndarray:
+    """Dequantize + dezigzag + batched IDCT every component, upsample,
+    crop, and color-map — one einsum per component."""
+    H, W = frame["H"], frame["W"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
-    for c in comps:
-        p = planes[c["id"]]
+    for c in frame["comps"]:
+        if c["tq"] not in qtables:
+            raise JpegError("missing DQT")
+        q = qtables[c["tq"]]
+        zz = c["coef"].reshape(-1, 64)  # (nb, 64) zigzag order
+        nat = np.zeros((zz.shape[0], 64), dtype=np.float64)
+        nat[:, ZIGZAG] = zz * q
+        blocks = nat.reshape(-1, 8, 8)
+        spatial = np.einsum("ur,nuv,vc->nrc", _M, blocks, _M) + 128.0
+        plane = (
+            spatial.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
         if c["v"] != vmax:
-            p = np.repeat(p, vmax // c["v"], axis=0)
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
         if c["h"] != hmax:
-            p = np.repeat(p, hmax // c["h"], axis=1)
-        full.append(p[:H, :W])
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
+        full.append(plane[:H, :W])
     if len(full) == 1:
         gray = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)

@@ -19,11 +19,12 @@ column (BASELINE.json input_hint). Four operators:
   PCM and IMA-ADPCM compressed (r3).
 
 DECODE IS REAL FOR EVERY IMAGE FORMAT THE ENGINE EMITS METADATA FOR
-(BMP, PNG, animated GIF, baseline JPEG — Huffman+IDCT in
-kernels/jpeg_kernel.py — plus PCM + IMA-ADPCM WAV audio and
-uncompressed-AVI video; all hand-rolled from the public specs, no codec
-libraries); formats that genuinely require transform codecs absent from
-this container (MP3/AAC, H.264-class video, progressive JPEG) keep a
+(BMP, PNG, animated GIF, baseline AND progressive JPEG — Huffman+IDCT
+with a §G coefficient store in kernels/jpeg_kernel.py — plus PCM +
+IMA-ADPCM WAV audio and uncompressed-AVI video; all hand-rolled from
+the public specs, no codec libraries); formats that genuinely require
+transform codecs absent from this container (MP3/AAC, H.264-class
+video, arithmetic-coded JPEG) keep a
 clearly-marked deterministic digest stand-in, flagged per row by
 ``decoded`` — swapping it for a codec changes no schema, no
 partitioning, and no Spark code.
@@ -156,7 +157,7 @@ def _image_features_udf(payload: pd.Series) -> pd.DataFrame:
         if arr is not None and arr.size:
             rows.append((True, _pixel_features(arr)))
         else:
-            # undecodable (progressive JPEG, truncated, junk): a clearly
+            # undecodable (arithmetic-coded JPEG, truncated, junk): a clearly
             # marked deterministic digest so every payload still gets a
             # fixed-dim vector for downstream ANN plumbing
             rows.append((False, _digest_floats(b, IMAGE_FEATURE_DIM, b"imgfeat")))
@@ -206,11 +207,11 @@ def image_resize(
 ) -> DataFrame:
     """Thumbnail operator (reference utils/image_processing ancestry; the
     r2 digest stub promoted to real pixels — VERDICT r2 item 3). For
-    decodable payloads (BMP/PNG/GIF/baseline JPEG) ``thumb`` is the REAL
+    decodable payloads (BMP/PNG/GIF/JPEG) ``thumb`` is the REAL
     aspect-preserved grayscale thumbnail: nearest-neighbor sampled
     (src_y = y·sh//th — deterministic, no float resampling kernel), one
     luma byte per pixel. Payloads whose header parses but whose pixels
-    can't be decoded here (progressive JPEG, truncated GIFs) keep the
+    can't be decoded here (arithmetic-coded JPEG, truncated GIFs) keep the
     clearly-marked digest stream at the same schema.
     Non-image payloads are dropped (filter happens inside the same pass —
     no extra scan)."""

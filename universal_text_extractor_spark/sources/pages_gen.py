@@ -843,6 +843,11 @@ class _JpegBitWriter:
         while self.n:
             self.put(1, 1)  # pad with 1-bits per spec
 
+    def restart(self, rst: int) -> None:
+        """Flush the partial byte and append an RSTn marker (B.2.1.2)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + rst])
+
 
 def _jpeg_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol → (code, length) from a (BITS, HUFFVAL) spec pair."""
@@ -885,21 +890,225 @@ def _jpeg_quant_table(quality: int, chroma: bool) -> list[int]:
     return out
 
 
+# Progressive-scan AC table: the 15 EOBn run codes (r=0..14, s=0) and ZRL
+# at 5 bits, the 160 (run,size) symbols at 9 bits. Kraft: 16/32 + 160/512
+# = 0.8125 ≤ 1. Baseline scans keep the tables above; progressive AC
+# scans need EOBn (G.2.2) so they carry their own DHT.
+_JPEG_AC_PROG_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 160, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_PROG_VALS = [r << 4 for r in range(15)] + [0xF0] + _JPEG_AC_SYMS
+
+
+def _jpeg_sos(comps_sel: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    import struct as _st
+
+    body = bytes([len(comps_sel)])
+    for cid, td, ta in comps_sel:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + _st.pack(">H", 2 + len(body)) + body
+
+
+def _jpeg_prog_dc_first(stores, mcux, mcuy, al, dc_code, restart_interval):
+    """G.2.1 DC-first scan: DPCM of (DC >> Al), interleaved over the MCU
+    grid (single-component frames have an identical grid)."""
+    bw = _JpegBitWriter()
+    preds = [0] * len(stores)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(stores)
+        my, mx = divmod(m, mcux)
+        for ci, st_ in enumerate(stores):
+            for by in range(st_["v"]):
+                for bx in range(st_["h"]):
+                    dc = st_["grid"][my * st_["v"] + by][mx * st_["h"] + bx][0] >> al
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    size = abs(diff).bit_length()
+                    code, ln = dc_code[size]
+                    bw.put(code, ln)
+                    if size:
+                        bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _jpeg_prog_dc_refine(stores, mcux, mcuy, al, restart_interval):
+    """DC refinement: one raw bit (bit Al of the DC coefficient) per
+    block — no Huffman tables involved."""
+    bw = _JpegBitWriter()
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+        my, mx = divmod(m, mcux)
+        for st_ in stores:
+            for by in range(st_["v"]):
+                for bx in range(st_["h"]):
+                    bw.put((st_["grid"][my * st_["v"] + by][mx * st_["h"] + bx][0] >> al) & 1, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _jpeg_prog_ac_first(blocks, ss, se, al, ac_code, restart_interval):
+    """G.2.2 AC-first scan over one component's non-padded block grid:
+    run/size coding of the point-transformed band plus EOBn run codes
+    (a run of n end-of-band blocks → code r=⌊log2 n⌋ + r extra bits)."""
+    bw = _JpegBitWriter()
+    eobrun = 0
+    rst = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_code[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for m, coef in enumerate(blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            flush_eob()
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+        last = -1
+        for k in range(ss, se + 1):
+            if abs(coef[k]) >> al:
+                last = k
+        if last < 0:
+            eobrun += 1
+            if eobrun == 32767:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for k in range(ss, last + 1):
+            a = abs(coef[k]) >> al
+            if a == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_code[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            size = a.bit_length()
+            code, ln = ac_code[(run << 4) | size]
+            bw.put(code, ln)
+            v = a if coef[k] >= 0 else -a
+            bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last < se:
+            eobrun += 1
+    flush_eob()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _jpeg_prog_ac_refine(blocks, ss, se, al, ac_code, restart_interval):
+    """G.2.3 AC refinement: newly-nonzero ±1 insertions with correction
+    bits for already-nonzero coefficients interleaved at the exact walk
+    positions the decoder reads them (after each code/ZRL it skips past),
+    and EOB runs whose deferred correction bits flush with the run code."""
+    bw = _JpegBitWriter()
+    eobrun = 0
+    pending: list[int] = []
+    rst = 0
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_code[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            for bit in pending:
+                bw.put(bit, 1)
+            pending = []
+            eobrun = 0
+
+    for m, coef in enumerate(blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            flush_eob()
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+        last_new = -1
+        for k in range(ss, se + 1):
+            if (abs(coef[k]) >> (al + 1)) == 0 and (abs(coef[k]) >> al):
+                last_new = k
+        if last_new < 0:
+            eobrun += 1
+            pending.extend(
+                (abs(coef[k]) >> al) & 1
+                for k in range(ss, se + 1)
+                if abs(coef[k]) >> (al + 1)
+            )
+            if eobrun == 32767:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        corr: list[int] = []
+        for k in range(ss, last_new + 1):
+            a = abs(coef[k]) >> al
+            if abs(coef[k]) >> (al + 1):  # nonzero history → correction bit
+                corr.append(a & 1)
+            elif a == 0:
+                run += 1
+                if run == 16:  # eager ZRL keeps bit/position interleave exact
+                    code, ln = ac_code[0xF0]
+                    bw.put(code, ln)
+                    for bit in corr:
+                        bw.put(bit, 1)
+                    corr = []
+                    run = 0
+            else:  # newly nonzero (magnitude exactly 1 at this precision)
+                code, ln = ac_code[(run << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if coef[k] > 0 else 0, 1)
+                for bit in corr:
+                    bw.put(bit, 1)
+                corr = []
+                run = 0
+        if last_new < se:
+            eobrun += 1
+            pending.extend(
+                (abs(coef[k]) >> al) & 1
+                for k in range(last_new + 1, se + 1)
+                if abs(coef[k]) >> (al + 1)
+            )
+    flush_eob()
+    bw.flush()
+    return bytes(bw.out)
+
+
 def make_jpeg(
     pixels: list[list],
     color: str = "rgb",
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JFIF writer (spec-based, INDEPENDENT of
-    ``kernels/jpeg_kernel.py`` — own zigzag generation, own Huffman
-    specs, own fDCT; writer ≠ parser). ``pixels`` follows the
+    """JFIF writer (spec-based, INDEPENDENT of ``kernels/jpeg_kernel.py``
+    — own zigzag generation, own Huffman specs, own fDCT, own progressive
+    scan-script emitter; writer ≠ parser). ``pixels`` follows the
     :func:`make_png` convention: rows of (r, g, b) tuples (``color=
     'rgb'``) or gray ints (``color='gray'``). ``subsample=True`` emits
-    4:2:0 (Y 2×2, chroma 1×1); ``restart_interval`` (in MCUs) emits DRI
-    + RSTn resync markers. Lossy by construction — round-trip closeness
-    is quality-bounded, not byte-exact (tests/test_jpeg.py)."""
+    4:2:0 (Y 2×2, chroma 1×1); ``restart_interval`` (in MCUs, honored in
+    every scan) emits DRI + RSTn resync markers. ``progressive=True``
+    emits SOF2 with a full §G script — interleaved DC first (Al=1),
+    per-component spectral-selection AC first scans (Y split 1-5/6-63,
+    chroma 1-63, Al=1), DC refine, AC refine (Ah=1→Al=0) — over the SAME
+    quantized coefficients as the baseline path, so a progressive encode
+    decodes bit-identically to its baseline twin (tests/test_jpeg.py).
+    Lossy by construction — pixel round-trips vs the input are
+    quality-bounded, not byte-exact."""
     import struct as _st
 
     import numpy as np
@@ -961,12 +1170,16 @@ def make_jpeg(
         )
         planes.append((name, padded, tq, ch, cv))
 
-    def encode_block(bw, block, q, pred, ac_code):
+    def quant_block(block, q):
         f = T @ (block - 128.0) @ T.T
         coef = []
         for k, (u, v) in enumerate(zz):
             x = f[u, v] / q[k]
             coef.append(int(np.floor(x + 0.5)) if x >= 0 else -int(np.floor(-x + 0.5)))
+        return coef
+
+    def encode_block(bw, block, q, pred, ac_code):
+        coef = quant_block(block, q)
         diff = coef[0] - pred
         size = abs(diff).bit_length()
         code, length = dc_code[size]
@@ -997,29 +1210,109 @@ def make_jpeg(
             bw.put(c, ln)
         return coef[0]
 
-    bw = _JpegBitWriter()
-    preds = {name: 0 for name, *_ in planes}
-    rst = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.flush()
-            bw.out += bytes([0xFF, 0xD0 + rst])
-            rst = (rst + 1) & 7
-            preds = {name: 0 for name, *_ in planes}
-        my, mx = divmod(m, mcux)
+    scans: list[tuple[bytes, bytes]] = []  # (SOS segment, entropy bytes)
+    if not progressive:
+        bw = _JpegBitWriter()
+        preds = {name: 0 for name, *_ in planes}
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = {name: 0 for name, *_ in planes}
+            my, mx = divmod(m, mcux)
+            for name, padded, tq, ch, cv in planes:
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        preds[name] = encode_block(
+                            bw,
+                            padded[y0 : y0 + 8, x0 : x0 + 8],
+                            qtabs[tq],
+                            preds[name],
+                            ac_codes[tq],
+                        )
+        bw.flush()
+        # baseline: one interleaved full-band scan (AC table = quant id)
+        scans.append(
+            (
+                _jpeg_sos(
+                    [(ci + 1, 0, tq) for ci, (_n, _p, tq, _ch, _cv) in enumerate(planes)],
+                    0, 63, 0, 0,
+                ),
+                bytes(bw.out),
+            )
+        )
+    else:
+        # quantize every padded-grid block once; all scans read the store
+        stores = []
         for name, padded, tq, ch, cv in planes:
-            for by in range(cv):
-                for bx in range(ch):
-                    y0 = (my * cv + by) * 8
-                    x0 = (mx * ch + bx) * 8
-                    preds[name] = encode_block(
-                        bw,
-                        padded[y0 : y0 + 8, x0 : x0 + 8],
-                        qtabs[tq],
-                        preds[name],
-                        ac_codes[tq],
+            grid = [
+                [
+                    quant_block(
+                        padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qtabs[tq]
                     )
-    bw.flush()
+                    for bx in range(mcux * ch)
+                ]
+                for by in range(mcuy * cv)
+            ]
+            # non-interleaved AC scans cover only the component's own
+            # (non-padded) block grid — A.2.2, mirrored by the decoder
+            sw = -(-w * ch // hmax)
+            sh = -(-h * cv // vmax)
+            stores.append(
+                {"grid": grid, "tq": tq, "h": ch, "v": cv,
+                 "nbw": -(-sw // 8), "nbh": -(-sh // 8)}
+            )
+        prog_ac = {0: _jpeg_canonical(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)}
+        if ncomp == 3:
+            prog_ac[1] = prog_ac[0]
+        all_sel = [(ci + 1, 0, st_["tq"]) for ci, st_ in enumerate(stores)]
+        bands = {0: ((1, 5), (6, 63))}  # Y split; chroma/gray full band
+        scans.append(
+            (
+                _jpeg_sos(all_sel, 0, 0, 0, 1),
+                _jpeg_prog_dc_first(stores, mcux, mcuy, 1, dc_code, restart_interval),
+            )
+        )
+        for ci, st_ in enumerate(stores):
+            sub = [
+                st_["grid"][by][bx]
+                for by in range(st_["nbh"])
+                for bx in range(st_["nbw"])
+            ]
+            for s0, s1 in bands.get(ci if ncomp == 3 else -1, ((1, 63),)):
+                scans.append(
+                    (
+                        _jpeg_sos([(ci + 1, 0, st_["tq"])], s0, s1, 0, 1),
+                        _jpeg_prog_ac_first(
+                            sub, s0, s1, 1, prog_ac[st_["tq"]], restart_interval
+                        ),
+                    )
+                )
+        scans.append(
+            (
+                _jpeg_sos(all_sel, 0, 0, 1, 0),
+                _jpeg_prog_dc_refine(stores, mcux, mcuy, 0, restart_interval),
+            )
+        )
+        for ci, st_ in enumerate(stores):
+            sub = [
+                st_["grid"][by][bx]
+                for by in range(st_["nbh"])
+                for bx in range(st_["nbw"])
+            ]
+            for s0, s1 in bands.get(ci if ncomp == 3 else -1, ((1, 63),)):
+                scans.append(
+                    (
+                        _jpeg_sos([(ci + 1, 0, st_["tq"])], s0, s1, 1, 0),
+                        _jpeg_prog_ac_refine(
+                            sub, s0, s1, 0, prog_ac[st_["tq"]], restart_interval
+                        ),
+                    )
+                )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + _st.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -1028,22 +1321,24 @@ def make_jpeg(
     sof = bytes([8]) + _st.pack(">HH", h, w) + bytes([ncomp])
     for ci, (name, _plane, tq, ch, cv) in enumerate(planes):
         sof += bytes([ci + 1, (ch << 4) | cv, tq])
-    out += b"\xff\xc0" + _st.pack(">H", 2 + len(sof)) + sof
-    dhts = [(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS), (1, 0, _JPEG_AC_BITS_Y, _JPEG_AC_VALS_Y)]
-    if ncomp == 3:
-        dhts.append((1, 1, _JPEG_AC_BITS_C, _JPEG_AC_VALS_C))
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + _st.pack(">H", 2 + len(sof)) + sof
+    dhts = [(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS)]
+    if progressive:
+        dhts.append((1, 0, _JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS))
+        if ncomp == 3:
+            dhts.append((1, 1, _JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS))
+    else:
+        dhts.append((1, 0, _JPEG_AC_BITS_Y, _JPEG_AC_VALS_Y))
+        if ncomp == 3:
+            dhts.append((1, 1, _JPEG_AC_BITS_C, _JPEG_AC_VALS_C))
     for tc, th, bits, vals in dhts:
         body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + _st.pack(">H", 2 + len(body)) + body
     if restart_interval:
         out += b"\xff\xdd" + _st.pack(">H", 4) + _st.pack(">H", restart_interval)
-    sos = bytes([ncomp])
-    for ci, (name, _plane, tq, ch, cv) in enumerate(planes):
-        # DC table 0 shared; AC table follows the quant-table id
-        sos += bytes([ci + 1, (0 << 4) | tq])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + _st.pack(">H", 2 + len(sos)) + sos
-    out += bw.out
+    for sos_seg, entropy in scans:
+        out += sos_seg
+        out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
