@@ -26,7 +26,10 @@ from universal_text_extractor_spark.kernels.image_prep import (
 )
 from universal_text_extractor_spark.kernels.jpeg_kernel import decode_jpeg
 from universal_text_extractor_spark.kernels.image_kernel import parse_image_header
-from universal_text_extractor_spark.sources.pages_gen import make_jpeg
+from universal_text_extractor_spark.sources.pages_gen import (
+    make_jpeg,
+    make_jpeg_lossless,
+)
 
 
 def _err(got: np.ndarray, want: np.ndarray) -> np.ndarray:
@@ -329,3 +332,119 @@ def test_operator_surface_sees_real_jpeg_pixels(spark):
     ys = (np.arange(th["height"]) * gray.shape[0]) // th["height"]
     xs = (np.arange(th["width"]) * gray.shape[1]) // th["width"]
     assert bytes(th["thumb"]) == gray[np.ix_(ys, xs)].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, Annex H): the one JPEG mode whose writer-pixel
+# round-trip is BYTE-EXACT — predictive coding has no quantization loss.
+# Writer (pages_gen.make_jpeg_lossless) and decoder are independent
+# spec implementations.
+
+
+def test_lossless_roundtrip_byte_exact_all_predictors():
+    px = _gradient(17, 9)
+    want = np.array([[list(p) for p in r] for r in px], np.uint8)
+    for pred in range(1, 8):
+        got = decode_jpeg(make_jpeg_lossless(px, predictor=pred))
+        assert got is not None and (got == want).all(), pred
+    gray = [[(x * 9 + y) % 256 for x in range(13)] for y in range(7)]
+    wantg = np.repeat(np.array(gray, np.uint8)[:, :, None], 3, axis=2)
+    for pred in range(1, 8):
+        got = decode_jpeg(make_jpeg_lossless(gray, color="gray", predictor=pred))
+        assert got is not None and (got == wantg).all(), pred
+
+
+def test_lossless_point_transform():
+    """Pt shifts samples right before coding; decode restores value<<Pt —
+    exact equality against the same shift applied to the input."""
+    px = _gradient(11, 8)
+    arr = np.array([[list(p) for p in r] for r in px], np.uint8)
+    for pt in (1, 2, 4):
+        want = (arr >> pt) << pt
+        got = decode_jpeg(make_jpeg_lossless(px, predictor=5, pt=pt))
+        assert got is not None and (got == want).all(), pt
+
+
+def test_lossless_golden_bytes_pinned():
+    b = make_jpeg_lossless(_gradient(32, 20), predictor=4)
+    assert hashlib.sha256(b).hexdigest() == GOLDEN_LOSSLESS_BYTES
+
+
+GOLDEN_LOSSLESS_BYTES = (
+    "b50ad7069067f2da404534c1ef5cdc35e0bce2a567539f762af4268985ad9d01"
+)
+
+
+def test_lossless_header_and_operator_surface():
+    b = make_jpeg_lossless(_gradient(31, 22))
+    assert parse_image_header(b) == (31, 22, "JPEG")
+    want = np.array([[list(p) for p in r] for r in _gradient(31, 22)], np.uint8)
+    assert (decode_image(b) == want).all()
+
+
+def test_lossless_unsupported_subsets_contained():
+    good = bytearray(make_jpeg_lossless(_gradient(8, 8)))
+    sof = good.find(b"\xff\xc3")
+    # 16-bit precision → honest None (output contract is uint8 RGB)
+    deep = bytearray(good)
+    deep[sof + 4] = 16
+    assert decode_jpeg(bytes(deep)) is None
+    # non-1x1 sampling → None
+    samp = bytearray(good)
+    samp[sof + 11] = 0x21
+    assert decode_jpeg(bytes(samp)) is None
+    # a DRI segment before the scan → None (lossless restart semantics
+    # are outside the decoder's subset, contained not guessed)
+    dri = bytes(good[:sof]) + b"\xff\xdd\x00\x04\x00\x02" + bytes(good[sof:])
+    assert decode_jpeg(dri) is None
+    # truncated entropy stream → None
+    assert decode_jpeg(bytes(good[: len(good) - 8])) is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    pred=st.integers(1, 7),
+    pt=st.integers(0, 5),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_lossless_roundtrip_property(w, h, pred, pt, gray, seed):
+    """Random noise, every predictor/point-transform/layout: decoded
+    pixels must equal the point-transformed input EXACTLY."""
+    rng = random.Random(seed)
+    if gray:
+        px = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        want = np.repeat(
+            ((np.array(px, np.uint8) >> pt) << pt)[:, :, None], 3, axis=2
+        )
+        b = make_jpeg_lossless(px, color="gray", predictor=pred, pt=pt)
+    else:
+        px = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        want = (np.array([[list(p) for p in r] for r in px], np.uint8) >> pt) << pt
+        b = make_jpeg_lossless(px, predictor=pred, pt=pt)
+    got = decode_jpeg(b)
+    assert got is not None and (got == want).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    pos=st.integers(0, 10_000),
+    val=st.integers(0, 255),
+    seed=st.integers(0, 2**16),
+)
+def test_lossless_corruption_fuzz_never_raises(pos, val, seed):
+    """D2 containment for the lossless decode path."""
+    rng = random.Random(seed)
+    px = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(12)]
+        for _ in range(10)
+    ]
+    b = bytearray(make_jpeg_lossless(px, predictor=1 + seed % 7, pt=seed % 3))
+    b[pos % len(b)] = val
+    got = decode_jpeg(bytes(b))
+    assert got is None or (got.dtype == np.uint8 and got.ndim == 3)

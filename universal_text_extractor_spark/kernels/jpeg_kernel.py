@@ -10,9 +10,12 @@ bits, non-interleaved single-component scan geometry, restart resync in
 every scan kind); EOI triggers the finish pass — dequantize + dezigzag,
 batched orthonormal IDCT (one einsum per component), nearest-neighbor
 chroma upsampling, JFIF YCbCr→RGB. Supported: 8-bit, 1 or 3 components,
-sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0, grayscale), SOF0 + SOF2,
-multi-scan sequential. Arithmetic coding, 12-bit, lossless, and CMYK
-return None — containment, not a crash (D2).
+sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0, grayscale), SOF0 + SOF1 +
+SOF2, and SOF3 LOSSLESS (Annex H: per-sample predictive coding,
+predictors 1-7, point transform, mod-2^16 reconstruction — the one JPEG
+mode whose pixel round-trip is BYTE-EXACT, tests/test_jpeg.py).
+Arithmetic coding, 12-bit, and CMYK return None — containment, not a
+crash (D2).
 
 Progressive reconstruction is EXACT: once every scan is consumed the
 coefficient store is bit-identical to what a baseline scan of the same
@@ -177,9 +180,10 @@ def _extend(value: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
-    """Decode a baseline or progressive JFIF payload → (H, W, 3) uint8
-    RGB, or None for anything this decoder doesn't cover (arithmetic,
-    12-bit, CMYK, corrupt) — the callers' containment contract (D2)."""
+    """Decode a baseline, progressive, or lossless JPEG payload →
+    (H, W, 3) uint8 RGB, or None for anything this decoder doesn't cover
+    (arithmetic, 12-bit, CMYK, corrupt) — the callers' containment
+    contract (D2)."""
     try:
         return _decode(payload)
     except Exception:
@@ -206,6 +210,8 @@ def _decode(b: bytes) -> np.ndarray | None:
         if marker == 0xD9:  # EOI — finish
             if frame is None or not saw_scan:
                 return None
+            if frame.get("lossless"):
+                return _finish_lossless(frame)
             return _finish(frame, qtables)
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -237,23 +243,40 @@ def _decode(b: bytes) -> np.ndarray | None:
                 vals = seg[off + 17 : off + 17 + count]
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huffman(bits, vals)
                 off += 17 + count
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (at 8-bit precision
+            # the coded stream is baseline-shaped — the extension is only
+            # 12-bit precision + more table slots) / SOF2 progressive
             if frame is not None:
                 raise JpegError("multiple frames")
             frame = _parse_sof(seg, progressive=(marker == 0xC2))
             if frame is None:
                 return None
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/lossless/arithmetic variants
+        elif marker == 0xC3:  # SOF3 lossless (Annex H, Huffman)
+            if frame is not None:
+                raise JpegError("multiple frames")
+            frame = _parse_sof3(seg)
+            if frame is None:
+                return None
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # differential/arithmetic variants
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
-            end = _decode_scan(
-                b, pos + 2 + seglen, seg, frame, qtables, huff_dc, huff_ac,
-                restart_interval,
-            )
+            if frame.get("lossless"):
+                if restart_interval:
+                    # restart prediction-reset semantics in lossless scans
+                    # are out of this decoder's subset — contained, not
+                    # guessed (the independent writer never emits them)
+                    raise JpegError("lossless restart not supported")
+                end = _decode_lossless_scan(b, pos + 2 + seglen, seg, frame, huff_dc)
+            else:
+                end = _decode_scan(
+                    b, pos + 2 + seglen, seg, frame, qtables, huff_dc, huff_ac,
+                    restart_interval,
+                )
             saw_scan = True
             # skip to the next marker (pad bits already discarded)
             pos = end
@@ -304,6 +327,117 @@ def _parse_sof(seg: bytes, progressive: bool) -> dict | None:
         "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
         "progressive": progressive,
     }
+
+
+def _parse_sof3(seg: bytes) -> dict | None:
+    """Lossless frame header (SOF3, Annex H). Supported subset: 8-bit
+    precision, 1 or 3 components, all sampling factors 1×1 (the common
+    lossless layout; our output contract is uint8 RGB, so 16-bit-deep
+    lossless would need a lossy re-scale — honestly None instead)."""
+    precision = seg[0]
+    h, w = struct.unpack_from(">HH", seg, 1)
+    ncomp = seg[5]
+    if precision != 8 or ncomp not in (1, 3) or not h or not w:
+        return None
+    comps = []
+    for ci in range(ncomp):
+        cid = seg[6 + ci * 3]
+        hv = seg[7 + ci * 3]
+        if hv != 0x11:
+            return None
+        # Tq (seg[8+ci*3]) is unused in lossless frames (H.1)
+        comps.append({"id": cid, "plane": None, "pt": 0})
+    return {"H": int(h), "W": int(w), "comps": comps, "lossless": True}
+
+
+def _decode_lossless_scan(
+    b: bytes, data_pos: int, seg: bytes, frame: dict, huff_dc
+) -> int:
+    """One lossless scan (H.1-H.2): per sample, a DC-style Huffman size
+    category + magnitude bits code the difference from the prediction
+    Px; reconstruction is (Px + diff) mod 2^16 in the point-transformed
+    domain. Interleaved (all components, sample-interleaved raster — the
+    1×1-sampling MCU of H.2) or single-component scans. Returns the byte
+    position just past the scan data."""
+    ns = seg[0]
+    if len(seg) < 1 + 2 * ns + 3:
+        raise JpegError("short SOS")
+    by_id = {c["id"]: c for c in frame["comps"]}
+    scan_comps = []
+    for si in range(ns):
+        cid = seg[1 + si * 2]
+        td = seg[2 + si * 2] >> 4
+        if cid not in by_id:
+            raise JpegError("scan references unknown component")
+        if td not in huff_dc:
+            raise JpegError("missing DC DHT")
+        scan_comps.append((by_id[cid], td))
+    predictor = seg[1 + 2 * ns]  # Ss = predictor selector
+    se = seg[2 + 2 * ns]
+    a = seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F  # Al = point transform Pt
+    if not (1 <= predictor <= 7) or se != 0 or ah != 0 or al > 7:
+        raise JpegError("bad lossless scan header")
+    pt = al
+    default = 1 << (8 - pt - 1)  # H.1.1: 2^(P - Pt - 1)
+    H, W = frame["H"], frame["W"]
+    reader = _BitReader(b, data_pos)
+    planes = []
+    for c, _td in scan_comps:
+        if c["plane"] is None:
+            c["plane"] = [[0] * W for _ in range(H)]
+        c["pt"] = pt
+        planes.append(c["plane"])
+    tables = [huff_dc[td] for _c, td in scan_comps]
+
+    def _diff(table) -> int:
+        size = reader.decode_huff(table)
+        if size == 16:  # H.1.2.2: SSS=16 codes diff=32768, no extra bits
+            return 32768
+        return _extend(reader.read_bits(size), size)
+
+    for y in range(H):
+        for x in range(W):
+            for plane, table in zip(planes, tables):
+                if y == 0:
+                    px = default if x == 0 else plane[0][x - 1]
+                elif x == 0:
+                    px = plane[y - 1][0]
+                else:
+                    ra = plane[y][x - 1]
+                    rb = plane[y - 1][x]
+                    if predictor == 1:
+                        px = ra
+                    elif predictor == 2:
+                        px = rb
+                    elif predictor == 3:
+                        px = plane[y - 1][x - 1]
+                    elif predictor == 4:
+                        px = ra + rb - plane[y - 1][x - 1]
+                    elif predictor == 5:
+                        px = ra + ((rb - plane[y - 1][x - 1]) >> 1)
+                    elif predictor == 6:
+                        px = rb + ((ra - plane[y - 1][x - 1]) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                plane[y][x] = (px + _diff(table)) & 0xFFFF
+    return reader.end_of_scan_pos()
+
+
+def _finish_lossless(frame: dict) -> np.ndarray:
+    """Undo the point transform (H.1: output = sample << Pt) and map
+    components to channels. Lossless JPEG defines NO color transform —
+    3-component frames are taken as RGB in component order (what the
+    independent writer emits), 1-component as grayscale."""
+    full = []
+    for c in frame["comps"]:
+        if c["plane"] is None:
+            raise JpegError("component never scanned")
+        arr = np.array(c["plane"], dtype=np.int64) << c["pt"]
+        full.append(np.clip(arr, 0, 255).astype(np.uint8))
+    if len(full) == 1:
+        return np.repeat(full[0][:, :, None], 3, axis=2)
+    return np.stack(full, axis=2)
 
 
 def _decode_scan(

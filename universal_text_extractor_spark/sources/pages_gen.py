@@ -1343,6 +1343,78 @@ def make_jpeg(
     return bytes(out)
 
 
+def make_jpeg_lossless(
+    pixels: list[list],
+    color: str = "rgb",
+    predictor: int = 4,
+    pt: int = 0,
+) -> bytes:
+    """Lossless JPEG writer (SOF3, T.81 Annex H) — spec-based and
+    INDEPENDENT of the kernel decoder. Per sample: difference from the
+    prediction ``Px`` (selector 1-7; first line/column fall back per
+    H.1.2.1) coded as a DC-style Huffman size category + magnitude bits.
+    ``pt`` is the point transform (samples coded as ``value >> pt``).
+    No color transform exists in lossless mode: 3-component frames carry
+    R,G,B in component order. The round-trip is BYTE-EXACT — the one
+    JPEG mode with a writer-pixel equality oracle (tests/test_jpeg.py)."""
+    import struct as _st
+
+    if not (1 <= predictor <= 7) or not (0 <= pt <= 7):
+        raise ValueError("bad predictor/point transform")
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    if not h or not w:
+        raise ValueError("empty image")
+    if color == "gray":
+        planes = [[[int(v) >> pt for v in row] for row in pixels]]
+    else:
+        planes = [
+            [[int(px[ch]) >> pt for px in row] for row in pixels]
+            for ch in range(3)
+        ]
+    default = 1 << (8 - pt - 1)
+    dc_code = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    bw = _JpegBitWriter()
+    for y in range(h):
+        for x in range(w):
+            for plane in planes:
+                if y == 0:
+                    px = default if x == 0 else plane[0][x - 1]
+                elif x == 0:
+                    px = plane[y - 1][0]
+                else:
+                    ra, rb, rc = plane[y][x - 1], plane[y - 1][x], plane[y - 1][x - 1]
+                    px = {
+                        1: ra,
+                        2: rb,
+                        3: rc,
+                        4: ra + rb - rc,
+                        5: ra + ((rb - rc) >> 1),
+                        6: rb + ((ra - rc) >> 1),
+                        7: (ra + rb) >> 1,
+                    }[predictor]
+                diff = plane[y][x] - px
+                size = abs(diff).bit_length()
+                code, length = dc_code[size]
+                bw.put(code, length)
+                if size:
+                    bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")  # SOI; no APP0 — lossless is not JFIF/YCbCr
+    body = bytes([0]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    out += b"\xff\xc4" + _st.pack(">H", 2 + len(body)) + body
+    sof = bytes([8]) + _st.pack(">HH", h, w) + bytes([len(planes)])
+    for ci in range(len(planes)):
+        sof += bytes([ci + 1, 0x11, 0])  # Tq=0, unused in lossless frames
+    out += b"\xff\xc3" + _st.pack(">H", 2 + len(sof)) + sof
+    out += _jpeg_sos(
+        [(ci + 1, 0, 0) for ci in range(len(planes))], predictor, 0, 0, pt
+    )
+    out += bytes(bw.out)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def make_media_row(i: int, seed: int = _SEED_DEFAULT) -> dict:
     """Row *i* of the synthetic media table — index-pure like
     :func:`make_page`. Mix: document scans (upright + writer-rotated),
