@@ -1,0 +1,252 @@
+"""TIFF codec pair: independent writer (pages_gen.make_tiff) ↔
+from-scratch decoder (kernels/tiff_kernel.py).
+
+TIFF is lossless, so every round-trip contract here is BYTE-EXACT —
+across compressions (none/PackBits/LZW), the horizontal-differencing
+predictor, both byte orders, strip layouts, and gray/RGB/WhiteIsZero
+photometrics. The LZW pair must stay in sync across code-width
+boundaries (early change) and table resets, which the noise sweeps
+force. Scanned-TIFF pages must OCR end-to-end through the same
+K14→K13 chain the PNG/BMP fixtures use (the reference accepts
+tiff/tif via PIL — utils/file_handlers.py:105).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from universal_text_extractor_spark.kernels.image_kernel import parse_image_header
+from universal_text_extractor_spark.kernels.image_prep import decode_image
+from universal_text_extractor_spark.kernels.tiff_kernel import (
+    TiffError,
+    _lzw,
+    decode_tiff,
+    tiff_size,
+)
+from universal_text_extractor_spark.sources.pages_gen import (
+    _tiff_lzw_encode,
+    make_tiff,
+    render_text_rows,
+)
+
+
+def _gradient(w: int, h: int) -> list[list[tuple[int, int, int]]]:
+    return [
+        [(x * 5 % 256, y * 7 % 256, (x + y) * 3 % 256) for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def _rgb_arr(px) -> np.ndarray:
+    return np.array([[list(p) for p in r] for r in px], np.uint8)
+
+
+def test_roundtrip_byte_exact_all_layouts():
+    px = _gradient(17, 9)
+    want = _rgb_arr(px)
+    gray = [[(x * 9 + y) % 256 for x in range(13)] for y in range(7)]
+    wantg = np.repeat(np.array(gray, np.uint8)[:, :, None], 3, axis=2)
+    for comp in ("none", "packbits", "lzw"):
+        for order in ("<", ">"):
+            for rps in (0, 3):
+                got = decode_tiff(
+                    make_tiff(px, compression=comp, byte_order=order, rows_per_strip=rps)
+                )
+                assert got is not None and (got == want).all(), (comp, order, rps)
+                gotg = decode_tiff(
+                    make_tiff(gray, color="gray", compression=comp,
+                              byte_order=order, rows_per_strip=rps)
+                )
+                assert gotg is not None and (gotg == wantg).all(), (comp, order, rps)
+
+
+def test_lzw_predictor_roundtrip():
+    """Horizontal differencing makes gradients near-constant — the case
+    the predictor exists for — and must invert exactly."""
+    px = _gradient(40, 25)
+    want = _rgb_arr(px)
+    plain = make_tiff(px, compression="lzw")
+    pred = make_tiff(px, compression="lzw", predictor=True)
+    assert len(pred) < len(plain)  # differencing must actually help here
+    got = decode_tiff(pred)
+    assert got is not None and (got == want).all()
+
+
+def test_white_is_zero_photometric():
+    gray = [[(x * 7) % 256 for x in range(11)] for _ in range(6)]
+    want = np.repeat(np.array(gray, np.uint8)[:, :, None], 3, axis=2)
+    got = decode_tiff(make_tiff(gray, color="gray", white_is_zero=True))
+    assert got is not None and (got == want).all()
+
+
+def test_header_parser_and_size():
+    b = make_tiff(_gradient(31, 22), byte_order=">")
+    assert tiff_size(b) == (31, 22)
+    assert parse_image_header(b) == (31, 22, "TIFF")
+    assert (decode_image(b) == _rgb_arr(_gradient(31, 22))).all()
+
+
+def test_golden_bytes_pinned():
+    b = make_tiff(_gradient(32, 20), compression="lzw", predictor=True,
+                  rows_per_strip=6)
+    assert hashlib.sha256(b).hexdigest() == GOLDEN_TIFF_BYTES
+
+
+GOLDEN_TIFF_BYTES = (
+    "48735846c1abd41ece43907328e9729212dc77f6285f5daf82dc2db79af090e9"
+)
+
+
+def test_lzw_width_boundaries_and_reset():
+    """Noise long enough to cross the 511/1023/2047 width boundaries and
+    the 4094-entry table reset — the early-change sync killers."""
+    rng = random.Random(5)
+    for n in (253, 254, 255, 600, 1200, 3000, 9000, 30000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert _lzw(_tiff_lzw_encode(data)) == data, n
+    # repetitive data grows long table strings instead of wide tables
+    for n in (511, 1023, 5000):
+        data = bytes((i // 3) % 5 for i in range(n))
+        assert _lzw(_tiff_lzw_encode(data)) == data, n
+
+
+def test_unsupported_subsets_contained():
+    good = bytearray(make_tiff(_gradient(8, 8)))
+    # not a TIFF at all
+    assert decode_tiff(b"") is None
+    assert decode_tiff(b"II*\x00") is None
+    assert decode_tiff(b"II+\x00" + bytes(good[4:])) is None  # BigTIFF magic
+    # 16-bit BitsPerSample → None (patch tag 258's inline SHORT values)
+    import struct
+
+    b = bytes(good)
+    order, = ("<",)
+    (ifd_off,) = struct.unpack_from("<I", b, 4)
+    (n,) = struct.unpack_from("<H", b, ifd_off)
+    patched = bytearray(b)
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", b, e)
+        if tag == 258:
+            struct.pack_into("<HHH", patched, e + 8, 16, 16, 16)
+        if tag == 284:  # planar=2 → None
+            pass
+    assert decode_tiff(bytes(patched)) is None
+    # unsupported compression id (CCITT G3 = 3) → None
+    patched = bytearray(b)
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", b, e)
+        if tag == 259:
+            struct.pack_into("<H", patched, e + 8, 3)
+    assert decode_tiff(bytes(patched)) is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    comp=st.sampled_from(["none", "packbits", "lzw"]),
+    pred=st.booleans(),
+    order=st.sampled_from(["<", ">"]),
+    rps=st.integers(0, 5),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_roundtrip_property(w, h, comp, pred, order, rps, gray, seed):
+    rng = random.Random(seed)
+    pred = pred and comp == "lzw"
+    if gray:
+        px = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        want = np.repeat(np.array(px, np.uint8)[:, :, None], 3, axis=2)
+    else:
+        px = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        want = _rgb_arr(px)
+    b = make_tiff(px, color="gray" if gray else "rgb", compression=comp,
+                  predictor=pred, byte_order=order, rows_per_strip=rps)
+    got = decode_tiff(b)
+    assert got is not None and (got == want).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pos=st.integers(0, 10_000),
+    val=st.integers(0, 255),
+    seed=st.integers(0, 2**16),
+)
+def test_corruption_fuzz_never_raises(pos, val, seed):
+    """D2 containment: a mutated payload decodes to None or a valid
+    array — never an exception escaping decode_tiff."""
+    rng = random.Random(seed)
+    px = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(12)]
+        for _ in range(10)
+    ]
+    comp = ("none", "packbits", "lzw")[seed % 3]
+    b = bytearray(make_tiff(px, compression=comp, rows_per_strip=seed % 4))
+    b[pos % len(b)] = val
+    got = decode_tiff(bytes(b))
+    assert got is None or (got.dtype == np.uint8 and got.ndim == 3)
+
+
+def test_scanned_tiff_ocr_end_to_end():
+    """A text page rendered to TIFF OCRs through the same K14→K13 chain
+    as the PNG/BMP fixtures — reference parity for its tiff/tif entries
+    in SUPPORTED_IMAGE_FORMATS (utils/file_handlers.py:105)."""
+    from universal_text_extractor_spark.kernels.dispatch import extract_payload
+    from universal_text_extractor_spark.kernels.ocr_kernel import perform_ocr
+
+    rng = random.Random(21)
+    rows = render_text_rows(["SCANNED TIFF PAGE", "SECOND LINE 42"], rng)
+    for comp in ("none", "lzw"):
+        payload = make_tiff(rows, compression=comp)
+        assert perform_ocr(payload) == "SCANNED TIFF PAGE\nSECOND LINE 42", comp
+    payload = make_tiff(rows, compression="packbits")
+    text, ocr_used, success, error, logs = extract_payload(
+        "https://h/scan.tiff", payload, "image", use_ocr=True
+    )
+    assert text == "SCANNED TIFF PAGE\nSECOND LINE 42"
+    assert ocr_used and success and error is None
+    # metadata path: the reference's PIL format name is TIFF
+    text0, ocr0, *_rest = extract_payload("https://h/scan.tiff", payload, "image")
+    assert not ocr0 and text0.startswith("[Image: ")
+    assert "Format: TIFF" in text0
+
+
+def test_operator_surface_sees_real_tiff_pixels(spark):
+    from universal_text_extractor_spark.operators.multimodal import (
+        _pixel_features,
+        image_features,
+        media_metadata,
+    )
+
+    payloads = {
+        "https://m/t1.tiff": make_tiff(_gradient(40, 28), compression="lzw",
+                                       predictor=True),
+        "https://m/t2.tif": make_tiff(
+            [[(x * 9) % 256 for x in range(26)] for _ in range(18)],
+            color="gray", compression="packbits", byte_order=">",
+        ),
+    }
+    df = spark.createDataFrame(
+        [(u, p) for u, p in payloads.items()], "url string, payload binary"
+    )
+    meta = {r["url"]: r for r in media_metadata(df).collect()}
+    assert meta["https://m/t1.tiff"]["format"] == "TIFF"
+    assert (meta["https://m/t1.tiff"]["width"], meta["https://m/t1.tiff"]["height"]) == (40, 28)
+    assert meta["https://m/t2.tif"]["format"] == "TIFF"
+
+    feats = {r["url"]: r for r in image_features(df).collect()}
+    for url, payload in payloads.items():
+        row = feats[url]
+        assert row["decoded"] is True, url
+        want = _pixel_features(decode_image(payload))
+        assert all(abs(a - b) < 1e-4 for a, b in zip(row["features"], want)), url

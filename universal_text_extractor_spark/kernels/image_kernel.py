@@ -6,7 +6,7 @@ Reference semantics for the OCR-disabled image path
     [Image: {width}x{height}, Format: {format}]
     OCR was not enabled. Enable OCR to extract text content from this image.
 
-Dimensions parsed from raw header bytes (PNG/JPEG/GIF/BMP) — no PIL, so
+Dimensions parsed from raw header bytes (PNG/JPEG/GIF/BMP/TIFF) — no PIL, so
 output depends only on this module. Unknown/corrupt image headers fall back
 to the no-PIL literal ``[Image file - OCR not enabled]`` (reference :207).
 
@@ -61,6 +61,15 @@ def _jpeg_size(b: bytes):
     return None
 
 
+def _tiff_size(b: bytes):
+    from .tiff_kernel import tiff_size
+
+    dims = tiff_size(b)
+    if dims is None:
+        return None
+    return dims[0], dims[1], "TIFF"
+
+
 def parse_image_header(payload: bytes):
     """Dispatch on magic bytes and parse (width, height, format) from the
     header, or None for non-image/corrupt payloads. Shared by the K17
@@ -74,6 +83,8 @@ def parse_image_header(payload: bytes):
             return _bmp_size(payload)
         if payload.startswith(b"\xff\xd8\xff"):
             return _jpeg_size(payload)
+        if payload.startswith((b"II*\x00", b"MM\x00*")):
+            return _tiff_size(payload)
     except Exception:
         return None
     return None

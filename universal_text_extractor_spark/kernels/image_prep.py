@@ -163,8 +163,9 @@ def _decode_png(b: bytes) -> np.ndarray | None:
 def decode_image(payload: bytes) -> np.ndarray | None:
     """(H, W, 3) uint8 RGB, or None for undecodable/unsupported payloads.
     BMP/PNG decode here; GIF decodes via the LZW kernel (first frame —
-    K14-K16 and the feature/resize operators see a still image); baseline
-    JPEG decodes via the Huffman+IDCT kernel (kernels/jpeg_kernel.py)."""
+    K14-K16 and the feature/resize operators see a still image); JPEG
+    decodes via the Huffman+IDCT kernel (kernels/jpeg_kernel.py); TIFF
+    via the strip/LZW/PackBits kernel (kernels/tiff_kernel.py)."""
     b = payload or b""
     try:
         if b.startswith(b"BM"):
@@ -180,6 +181,10 @@ def decode_image(payload: bytes) -> np.ndarray | None:
             from .jpeg_kernel import decode_jpeg
 
             return decode_jpeg(b)
+        if b[:4] in (b"II*\x00", b"MM\x00*"):
+            from .tiff_kernel import decode_tiff
+
+            return decode_tiff(b)
     except Exception:
         return None
     return None

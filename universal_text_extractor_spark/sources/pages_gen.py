@@ -1415,6 +1415,188 @@ def make_jpeg_lossless(
     return bytes(out)
 
 
+def _tiff_packbits_encode(row: bytes) -> bytes:
+    """PackBits one row (compression is row-bounded per spec guidance):
+    greedy runs — repeats of ≥2 become replicate packets, the rest
+    literal packets of ≤128."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        # measure the repeat run at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i), row[i]])
+            i = j
+            continue
+        # literal run: until the next ≥2 repeat or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128 and not (j + 1 < n and row[j] == row[j + 1]):
+            j += 1
+        out += bytes([j - i - 1]) + row[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder (spec §13, early change: the code width grows
+    when the next free entry reaches 2^width — the decoder, one table
+    entry behind, grows at 2^width − 1). MSB-first bit packing."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    free_ent = 258
+    width = 9
+    put(CLEAR, width)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], width)
+        table[nxt] = free_ent
+        free_ent += 1
+        if free_ent == (1 << width) and width < 12:
+            width += 1
+        cur = bytes([byte])
+        if free_ent == 4094:  # leave headroom, reset the table
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            free_ent = 258
+            width = 9
+    if cur:
+        put(table[cur], width)
+        # the decoder adds one more table entry after this final code
+        # (it trails the encoder by one) and may widen — EOI must be
+        # written at the width the decoder will read it with
+        if free_ent == (1 << width) - 1 and width < 12:
+            width += 1
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def make_tiff(
+    pixels: list[list],
+    color: str = "rgb",
+    compression: str = "none",
+    predictor: bool = False,
+    byte_order: str = "<",
+    rows_per_strip: int = 0,
+    white_is_zero: bool = False,
+) -> bytes:
+    """Baseline TIFF 6.0 writer (spec-based, INDEPENDENT of
+    ``kernels/tiff_kernel.py`` — own IFD layout, own PackBits/LZW
+    encoders; writer ≠ parser). ``pixels`` follows the ``make_png``
+    convention. ``compression``: none / packbits / lzw; ``predictor``
+    (horizontal differencing, LZW only); ``byte_order``: '<' (II) or
+    '>' (MM); ``rows_per_strip`` 0 = single strip. TIFF is lossless —
+    round-trips are byte-exact (tests/test_tiff.py)."""
+    import struct as _st
+
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    if predictor and comp_id != 5:
+        raise ValueError("predictor requires lzw")
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    if not h or not w:
+        raise ValueError("empty image")
+    if color == "gray":
+        spp = 1
+        rows = [bytes((int(v) & 0xFF) for v in row) for row in pixels]
+        if white_is_zero:
+            rows = [bytes(255 - v for v in row) for row in rows]
+        photo = 0 if white_is_zero else 1
+    else:
+        spp = 3
+        rows = [
+            bytes(c for px in row for c in (int(px[0]), int(px[1]), int(px[2])))
+            for row in pixels
+        ]
+        photo = 2
+    if predictor:
+        # horizontal differencing per row, channel-wise, mod 256
+        rows = [
+            bytes(
+                (row[i] - (row[i - spp] if i >= spp else 0)) & 0xFF
+                for i in range(len(row))
+            )
+            for row in rows
+        ]
+    rps = rows_per_strip or h
+    strips = []
+    for s0 in range(0, h, rps):
+        raw = b"".join(rows[s0 : s0 + rps])
+        if comp_id == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif comp_id == 32773:
+            strips.append(b"".join(_tiff_packbits_encode(r) for r in rows[s0 : s0 + rps]))
+        else:
+            strips.append(raw)
+
+    # layout: 8-byte header | strip data (word-aligned) | IFD | overflow
+    strip_offsets = []
+    pos = 8
+    body = bytearray()
+    for s in strips:
+        strip_offsets.append(pos)
+        body += s
+        pos += len(s)
+        if pos % 2:  # keep offsets word-aligned per spec
+            body += b"\x00"
+            pos += 1
+    ifd_off = pos
+
+    entries: list[tuple[int, int, list[int]]] = [  # (tag, type, values)
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [comp_id]),
+        (262, 3, [photo]),
+        (273, 4, strip_offsets),
+        (277, 3, [spp]),
+        (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if predictor:
+        entries.append((317, 3, [2]))
+    entries.sort()
+    tsize = {3: 2, 4: 4}
+    tfmt = {3: "H", 4: "I"}
+    overflow = bytearray()
+    ov_base = ifd_off + 2 + 12 * len(entries) + 4
+    ifd = bytearray(_st.pack(byte_order + "H", len(entries)))
+    for tag, typ, vals in entries:
+        packed = _st.pack(byte_order + tfmt[typ] * len(vals), *vals)
+        ifd += _st.pack(byte_order + "HHI", tag, typ, len(vals))
+        if len(packed) <= 4:
+            ifd += packed + b"\x00" * (4 - len(packed))
+        else:
+            ifd += _st.pack(byte_order + "I", ov_base + len(overflow))
+            overflow += packed
+            if len(overflow) % 2:
+                overflow += b"\x00"
+    ifd += _st.pack(byte_order + "I", 0)  # no next IFD
+    magic = b"II*\x00" if byte_order == "<" else b"MM\x00*"
+    header = magic + _st.pack(byte_order + "I", ifd_off)
+    return bytes(header + body + ifd + overflow)
+
+
 def make_media_row(i: int, seed: int = _SEED_DEFAULT) -> dict:
     """Row *i* of the synthetic media table — index-pure like
     :func:`make_page`. Mix: document scans (upright + writer-rotated),
