@@ -217,3 +217,25 @@ def test_dd3_cap_is_broadcast_anti_join_not_window(spark):
             raise AssertionError(f"window over shingle key: {line}\n{plan}")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_registry_plan_lint_no_scale_killers(spark):
+    """Registry-wide sweep: EVERY queries() entry must compile to a plan
+    free of the classic 100-TB killers — CartesianProduct (all-pairs
+    blow-up) and BatchEvalPython (row-at-a-time Python in the hot path).
+    Nested-loop joins and Arrow-batched Python are allowed only where
+    they are the design: q22's scalar-subquery comparison (1-row
+    aggregate), s1's broadcast query side, and the multimodal kernels'
+    vectorized pandas stages."""
+    bnlj_ok = {"q22_global_sales_opportunity", "s1_brute_force_topk"}
+    python_ok = {"m1_media_metadata", "m3_image_prep_profile"}
+    for name, fn in entry_mod.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        if name not in python_ok:
+            assert "ArrowEvalPython" not in plan, name
+            assert "MapInPandas" not in plan, name
+            assert "FlatMapGroupsInPandas" not in plan, name
