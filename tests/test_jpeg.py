@@ -448,3 +448,31 @@ def test_lossless_corruption_fuzz_never_raises(pos, val, seed):
     b[pos % len(b)] = val
     got = decode_jpeg(bytes(b))
     assert got is None or (got.dtype == np.uint8 and got.ndim == 3)
+
+
+def test_missing_eoi_is_tolerated():
+    """Real-world JPEGs are routinely truncated right after the last
+    scan's entropy bytes; decode must finish with what it has."""
+    px = _gradient(24, 16)
+    for kw in (dict(quality=90), dict(quality=85, progressive=True)):
+        full = make_jpeg(px, **kw)
+        assert full.endswith(b"\xff\xd9")
+        cut = decode_jpeg(full[:-2])
+        assert cut is not None and (cut == decode_jpeg(full)).all(), kw
+    lossless = make_jpeg_lossless(px)
+    assert (decode_jpeg(lossless[:-2]) == decode_jpeg(lossless)).all()
+
+
+def test_header_bomb_contained():
+    """A crafted SOF claiming huge dimensions must be rejected before
+    any allocation — progressive EOB runs would otherwise let a few-KB
+    payload drive multi-GB coefficient stores."""
+    import struct
+    import time
+
+    good = bytearray(make_jpeg(_gradient(16, 16), quality=90, progressive=True))
+    sof = good.find(b"\xff\xc2")
+    struct.pack_into(">HH", good, sof + 5, 65500, 65500)
+    t0 = time.monotonic()
+    assert decode_jpeg(bytes(good)) is None
+    assert time.monotonic() - t0 < 1.0

@@ -108,11 +108,11 @@ def test_lzw_width_boundaries_and_reset():
     rng = random.Random(5)
     for n in (253, 254, 255, 600, 1200, 3000, 9000, 30000):
         data = bytes(rng.randrange(256) for _ in range(n))
-        assert _lzw(_tiff_lzw_encode(data)) == data, n
+        assert _lzw(_tiff_lzw_encode(data), n) == data, n
     # repetitive data grows long table strings instead of wide tables
     for n in (511, 1023, 5000):
         data = bytes((i // 3) % 5 for i in range(n))
-        assert _lzw(_tiff_lzw_encode(data)) == data, n
+        assert _lzw(_tiff_lzw_encode(data), n) == data, n
 
 
 def test_unsupported_subsets_contained():
@@ -250,3 +250,64 @@ def test_operator_surface_sees_real_tiff_pixels(spark):
         assert row["decoded"] is True, url
         want = _pixel_features(decode_image(payload))
         assert all(abs(a - b) < 1e-4 for a, b in zip(row["features"], want)), url
+
+
+def test_decompression_bomb_contained():
+    """A strip that inflates far past its row budget must abort during
+    decompression, not after materializing the blown-up buffer."""
+    import struct
+    import time
+
+    from universal_text_extractor_spark.sources.pages_gen import _tiff_lzw_encode
+
+    # honest 4x4 gray LZW tiff, then re-point the dims at 4096x4096 with
+    # a strip whose LZW stream expands ~1000x
+    bomb_strip = _tiff_lzw_encode(bytes(4096 * 4096 // 1000))
+    px = [[0] * 4 for _ in range(4)]
+    b = bytearray(make_tiff(px, color="gray", compression="lzw"))
+    (ifd_off,) = struct.unpack_from("<I", b, 4)
+    (n,) = struct.unpack_from("<H", b, ifd_off)
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", b, e)
+        if tag in (256, 257):
+            struct.pack_into("<I", b, e + 8, 4096)
+        if tag == 279:
+            struct.pack_into("<I", b, e + 8, len(bomb_strip))
+        if tag == 273:
+            struct.pack_into("<I", b, e + 8, len(b) + 100)
+        if tag == 278:
+            struct.pack_into("<I", b, e + 8, 4096)
+    payload = bytes(b) + bytes(100) + bomb_strip
+    t0 = time.monotonic()
+    assert decode_tiff(payload) is None  # need = 4096*4096 > budgeted chunk
+    assert time.monotonic() - t0 < 2.0
+    # and header-claimed dims beyond MAX_PIXELS reject instantly
+    big = bytearray(make_tiff(px, color="gray"))
+    (ifd_off,) = struct.unpack_from("<I", big, 4)
+    (n,) = struct.unpack_from("<H", big, ifd_off)
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", big, e)
+        if tag in (256, 257):
+            struct.pack_into("<I", big, e + 8, 65500)
+    assert decode_tiff(bytes(big)) is None
+
+
+def test_fillorder_and_orientation_rejected():
+    """FillOrder=2 (bit-reversed) and Orientation!=1 would decode to
+    wrong pixels if ignored — they must return None instead."""
+    import struct
+
+    base = make_tiff(_gradient(8, 8))
+    (ifd_off,) = struct.unpack_from("<I", base, 4)
+    (n,) = struct.unpack_from("<H", base, ifd_off)
+    # append a FillOrder=2 (or Orientation=3) entry by rebuilding the IFD
+    for tag, val in ((266, 2), (274, 3)):
+        entries = [base[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i] for i in range(n)]
+        extra = struct.pack("<HHI", tag, 3, 1) + struct.pack("<H", val) + b"\x00\x00"
+        entries.append(extra)
+        entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
+        ifd = struct.pack("<H", n + 1) + b"".join(entries) + struct.pack("<I", 0)
+        patched = base[:ifd_off] + ifd
+        assert decode_tiff(patched) is None, tag

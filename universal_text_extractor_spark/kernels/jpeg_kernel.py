@@ -3,11 +3,12 @@ from the public ITU T.81 spec (no PIL/libjpeg).
 
 Architecture (r3, progressive rewrite): a marker walk feeds every SOS
 into a per-component COEFFICIENT STORE; scans accumulate coefficients
-(baseline = one interleaved scan; progressive = any legal script of
-spectral-selection / successive-approximation scans, §G.2: DC
+(baseline = one interleaved scan; progressive = §G.2 scan scripts: DC
 first/refine, AC first with EOB runs, AC refinement with correction
 bits, non-interleaved single-component scan geometry, restart resync in
-every scan kind); EOI triggers the finish pass — dequantize + dezigzag,
+every scan kind — with ONE subset restriction: a multi-component scan
+must cover ALL frame components; partially-interleaved scans, Ns
+strictly between 1 and Nf, return None); EOI triggers the finish pass — dequantize + dezigzag,
 batched orthonormal IDCT (one einsum per component), nearest-neighbor
 chroma upsampling, JFIF YCbCr→RGB. Supported: 8-bit, 1 or 3 components,
 sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0, grayscale), SOF0 + SOF1 +
@@ -74,6 +75,14 @@ for _u in range(8):
 
 class JpegError(Exception):
     pass
+
+
+# Containment bound: reject header-claimed dimensions whose pixel count
+# exceeds this BEFORE allocating coefficient stores. Progressive EOB
+# runs cover thousands of blocks in a few bytes, so without this cap a
+# few-KB crafted SOF2 payload could drive multi-GB allocations in the
+# finish pass (a 600-dpi letter scan is ~34M pixels — well inside).
+MAX_PIXELS = 48_000_000
 
 
 class _Huffman:
@@ -286,7 +295,14 @@ def _decode(b: bytes) -> np.ndarray | None:
                 pos += 1
             continue
         pos += 2 + seglen
-    raise JpegError("no EOI")
+    # Missing EOI: real-world JPEGs are routinely truncated after the
+    # last scan's entropy data — finish with what was decoded (the
+    # pre-rewrite baseline decoder never required EOI either)
+    if frame is not None and saw_scan:
+        if frame.get("lossless"):
+            return _finish_lossless(frame)
+        return _finish(frame, qtables)
+    raise JpegError("no frame/scan before end of data")
 
 
 def _parse_sof(seg: bytes, progressive: bool) -> dict | None:
@@ -295,6 +311,8 @@ def _parse_sof(seg: bytes, progressive: bool) -> dict | None:
     ncomp = seg[5]
     if precision != 8 or ncomp not in (1, 3) or not h or not w:
         return None
+    if int(h) * int(w) > MAX_PIXELS:
+        return None  # header-claimed dims beyond the sanity bound
     comps = []
     for ci in range(ncomp):
         cid = seg[6 + ci * 3]
@@ -339,6 +357,8 @@ def _parse_sof3(seg: bytes) -> dict | None:
     ncomp = seg[5]
     if precision != 8 or ncomp not in (1, 3) or not h or not w:
         return None
+    if int(h) * int(w) > MAX_PIXELS:
+        return None  # header-claimed dims beyond the sanity bound
     comps = []
     for ci in range(ncomp):
         cid = seg[6 + ci * 3]

@@ -7,8 +7,10 @@ config, strip-organized, Compression 1 (none), 5 (LZW — the TIFF
 decode side than the encode side, mirroring the one-entry table lag)
 and 32773 (PackBits), Predictor 1/2 (horizontal differencing), both
 byte orders (II/MM). Everything else — tiles, palettes, planar=2,
-non-8-bit depths, JPEG-in-TIFF, CCITT fax codings — returns None:
-containment, not a crash (D2).
+non-8-bit depths, JPEG-in-TIFF, CCITT fax codings, reversed FillOrder,
+non-default Orientation — returns None: containment, not a crash (D2).
+Decompression is budget-capped per strip and header dims are bounded by
+``MAX_PIXELS``, so crafted payloads can't balloon memory either.
 
 TIFF is lossless, so the writer-pixel round-trip oracle is BYTE-EXACT
 (tests/test_tiff.py) against the INDEPENDENT spec-based writer
@@ -34,6 +36,13 @@ import numpy as np
 
 class TiffError(Exception):
     pass
+
+
+# Containment bound: reject header-claimed dimensions whose pixel count
+# exceeds this before allocating anything (a 600-dpi letter scan is ~34M
+# pixels; a crafted header claiming 65535x65535 would otherwise drive
+# multi-GB allocations from a few-KB payload).
+MAX_PIXELS = 48_000_000
 
 
 _TYPE_FMT = {1: "B", 3: "H", 4: "I"}  # BYTE / SHORT / LONG
@@ -88,11 +97,16 @@ def tiff_size(b: bytes) -> tuple[int, int] | None:
         return None
 
 
-def _packbits(data: bytes) -> bytes:
+def _packbits(data: bytes, budget: int) -> bytes:
+    """``budget`` caps the decompressed size (the strip's known byte
+    need) so a crafted payload can't balloon memory before the size
+    check — decompression-bomb containment."""
     out = bytearray()
     i = 0
     n = len(data)
     while i < n:
+        if len(out) > budget:
+            raise TiffError("PackBits output exceeds strip size")
         c = data[i]
         i += 1
         if c < 128:  # literal run of c+1 bytes
@@ -109,13 +123,14 @@ def _packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw(data: bytes) -> bytes:
+def _lzw(data: bytes, budget: int) -> bytes:
     """TIFF LZW (spec §13): MSB-first codes, Clear=256, EOI=257, width
     9→12. Early change: the DECODER widens when its next free entry
     reaches 2^width − 1 — one entry before the encoder's 2^width —
     because its table trails the encoder's by exactly one entry (the
     encoder has already added the entry whose first character the next
-    code reveals)."""
+    code reveals). ``budget`` caps the decompressed size (the strip's
+    known byte need) — decompression-bomb containment."""
     out = bytearray()
     CLEAR, EOI = 256, 257
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
@@ -157,6 +172,8 @@ def _lzw(data: bytes) -> bytes:
                 width += 1
         out += entry
         prev = entry
+        if len(out) > budget:
+            raise TiffError("LZW output exceeds strip size")
 
 
 def decode_tiff(payload: bytes) -> np.ndarray | None:
@@ -178,11 +195,15 @@ def _decode(b: bytes) -> np.ndarray | None:
     w, h = tags[256][0], tags[257][0]
     if not w or not h:
         return None
+    if w * h > MAX_PIXELS:
+        return None  # header-claimed dims beyond the sanity bound
     spp = tags.get(277, [1])[0]
     photo = tags.get(262, [1])[0]
     comp = tags.get(259, [1])[0]
     planar = tags.get(284, [1])[0]
     pred = tags.get(317, [1])[0]
+    fill_order = tags.get(266, [1])[0]
+    orientation = tags.get(274, [1])[0]
     bps = tags.get(258, [8] * spp)
     if (
         spp not in (1, 3)
@@ -192,6 +213,8 @@ def _decode(b: bytes) -> np.ndarray | None:
         or comp not in (1, 5, 32773)
         or planar != 1
         or pred not in (1, 2)
+        or fill_order != 1  # bit-reversed fill order: decode would be wrong
+        or orientation != 1  # rotated/flipped layouts: not silently ignored
     ):
         return None  # outside the supported subset — honest None
     if pred == 2 and comp != 5:
@@ -207,12 +230,12 @@ def _decode(b: bytes) -> np.ndarray | None:
         if so + sc > len(b):
             raise TiffError("strip out of range")
         chunk = b[so : so + sc]
-        if comp == 5:
-            chunk = _lzw(chunk)
-        elif comp == 32773:
-            chunk = _packbits(chunk)
         rows_here = min(rows_per_strip, h - rows_done)
         need = rows_here * stride
+        if comp == 5:
+            chunk = _lzw(chunk, need + 4096)
+        elif comp == 32773:
+            chunk = _packbits(chunk, need + 4096)
         if len(chunk) < need:
             raise TiffError("short strip")
         raw += chunk[:need]
