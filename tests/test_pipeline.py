@@ -136,3 +136,35 @@ def test_generator_partition_invariance(spark):
     a = {r["url"]: r["html"] for r in generate_pages_df(spark, 200, partitions=1).collect()}
     b = {r["url"]: r["html"] for r in generate_pages_df(spark, 200, partitions=7).collect()}
     assert a == b
+
+
+def test_salted_repartition_breaks_host_skew(spark):
+    """North rule: 'explicit repartitioning by url-hash with salting to
+    break host-level skew'. The corpus's hosts are Zipfian (the heaviest
+    host holds far more than a fair share), yet the salted
+    xxhash64(url)-keyed exchange must land near-uniform partitions —
+    asserted via the lineage doc counts the pipeline already emits."""
+    from urllib.parse import urlparse
+
+    n, parts = 4000, 16
+    pages = generate_pages_df(spark, n, partitions=4)
+    # premise: host-keyed partitioning WOULD be skewed (top host's share
+    # is several fair shares) — otherwise this test proves nothing
+    hosts = [urlparse(make_page(i)["url"]).netloc for i in range(n)]
+    top_share = max(
+        sum(1 for h in hosts if h == hh) for hh in set(hosts)
+    ) / n
+    assert top_share > 2.5 / parts, top_share
+    ext = extract_pages_fused(pages, num_partitions=parts).cache()
+    try:
+        counts = [
+            m["doc_count"]
+            for m in lineage_metrics(ext, run_id="skewtest").collect()
+        ]
+        assert sum(counts) == n
+        mean = n / parts
+        # salted url-hash: every partition within a tight band of fair
+        assert max(counts) <= 1.35 * mean, counts
+        assert min(counts) >= 0.65 * mean, counts
+    finally:
+        ext.unpersist()
