@@ -93,3 +93,71 @@ def test_error_literal_shape():
     # force an exception inside a kernel via a type confusion
     text, _, success, error, _ = extract_payload("https://x/y.txt", None, "txt")
     assert success is False or text == ""  # decode of None → "" → Warning path
+
+
+def test_pdf_objstm_layout_parity():
+    """PDF 1.5+ object streams (the modern-writer layout: page-tree dicts
+    Flate-packed in a /Type /ObjStm, xref as a cross-reference stream)
+    must extract IDENTICALLY to the classic layout of the same document —
+    reference parity with PyMuPDF's native ObjStm handling."""
+    import random
+
+    from universal_text_extractor_spark.kernels.pdf_kernel import extract_pdf
+    from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
+
+    for flate in (False, True):
+        for npages in (1, 4):
+            classic = extract_pdf(_pdf_doc_pages(random.Random(7), npages, flate))
+            modern = extract_pdf(
+                _pdf_doc_pages(random.Random(7), npages, flate, objstm=True)
+            )
+            assert classic[0] == modern[0], (flate, npages)
+            assert f"--- Page {npages} ---" in modern[0]
+    # image-only pages keep their bracket-literal semantics through ObjStm
+    e_classic = extract_pdf(_pdf_doc_pages(random.Random(3), 2, False, empty=True))
+    e_modern = extract_pdf(
+        _pdf_doc_pages(random.Random(3), 2, False, empty=True, objstm=True)
+    )
+    assert e_classic[0] == e_modern[0]
+
+
+def test_pdf_objstm_scanned_page_ocrs():
+    """A scanned page whose page dict lives inside an ObjStm still OCRs
+    end-to-end (the image XObject stays top-level, as the spec demands)."""
+    import random
+
+    from universal_text_extractor_spark.kernels.dispatch import extract_payload
+    from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
+
+    b = _pdf_doc_pages(
+        random.Random(5), 1, False, scan_lines=[["OBJSTM SCAN 7"]], objstm=True
+    )
+    text, ocr_used, success, error, logs = extract_payload(
+        "https://h/m.pdf", b, "pdf", use_ocr=True
+    )
+    assert "OBJSTM SCAN 7" in text and ocr_used and success
+
+
+def test_pdf_objstm_corruption_contained():
+    """Corrupting the ObjStm body (the page tree) must degrade to the
+    reference's corrupt/unsupported literal, never crash."""
+    import random
+
+    from universal_text_extractor_spark.kernels.pdf_kernel import (
+        CORRUPT_LITERAL,
+        extract_pdf,
+    )
+    from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
+
+    good = _pdf_doc_pages(random.Random(7), 2, True, objstm=True)
+    marker = good.find(b"/Type /ObjStm")
+    start = good.find(b"stream\n", marker) + len(b"stream\n")
+    bad = bytearray(good)
+    for i in range(start, min(start + 40, len(bad))):
+        bad[i] ^= 0xFF
+    text, _ocr, _logs = extract_pdf(bytes(bad))
+    assert text == CORRUPT_LITERAL or "image-based" in text
+    # and truncation anywhere stays contained
+    for cut in (len(good) // 4, len(good) // 2, len(good) - 10):
+        t = extract_pdf(good[:cut])[0]
+        assert isinstance(t, str)

@@ -189,13 +189,43 @@ def _parse_literal_string(b: bytes, i: int) -> tuple[bytes, int]:
 
 def _scan_objects(payload: bytes) -> dict[int, tuple[dict | object, int]]:
     """Map obj number -> (parsed top value, offset after the value) in
-    document order. xref tables are ignored (robust against corruption)."""
-    objs: dict[int, tuple[object, int]] = {}
+    document order. xref tables/streams are ignored (robust against
+    corruption — the scan finds every top-level object without them),
+    but /Type /ObjStm object streams (PDF 1.5+, where modern writers
+    compress the page-tree dicts; reference PyMuPDF reads them natively)
+    ARE unpacked: their embedded objects get offset None (they are plain
+    values — the spec forbids streams inside object streams)."""
+    objs: dict[int, tuple[object, int | None]] = {}
     for m in _OBJ_RE.finditer(payload):
         num = int(m.group(1))
         val, end = _parse_obj(payload, m.end())
         if num not in objs:
             objs[num] = (val, end)
+    for num in list(objs):
+        d = objs[num][0]
+        if not (isinstance(d, dict) and d.get("/Type") == "/ObjStm"):
+            continue
+        data = _stream_bytes(payload, objs, num)
+        n_objs = _resolve(objs, d.get("/N"))
+        first = _resolve(objs, d.get("/First"))
+        if data is None or not isinstance(n_objs, int) or not isinstance(first, int):
+            continue
+        try:
+            header = data[:first].split()
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1]))
+                for i in range(n_objs)
+            ]
+        except Exception:
+            continue
+        for onum, ooff in pairs:
+            if onum in objs:
+                continue
+            try:
+                val, _end = _parse_obj(data, first + ooff)
+            except Exception:
+                continue
+            objs[onum] = (val, None)
     return objs
 
 
@@ -213,8 +243,8 @@ def _stream_bytes(payload: bytes, objs, num: int) -> bytes | None:
     if entry is None:
         return None
     d, end = entry
-    if not isinstance(d, dict):
-        return None
+    if not isinstance(d, dict) or end is None:
+        return None  # ObjStm-embedded objects never carry streams
     m = re.compile(rb"stream\r?\n").search(payload, end - 2, end + 32)
     if not m:
         m = re.compile(rb"stream\r?\n").search(payload, end - 2)

@@ -168,6 +168,7 @@ def _pdf_doc_pages(
     scan_lines: list[list[str]] | None = None,
     scan_scale: int = 1,
     scan_codec: str = "flate",
+    objstm: bool = False,
 ) -> bytes:
     """Spec-based PDF writer. ``scan_lines`` (one list of text lines per
     page) makes each page a SCANNED page: no text operators, but a real
@@ -175,7 +176,12 @@ def _pdf_doc_pages(
     OCR font — the shape a scanner produces and the use_ocr=True kernel
     path recognizes. ``scan_codec='jpeg'`` embeds the raster as a
     DCTDecode (baseline JPEG) stream — the encoding real scanners emit —
-    instead of FlateDecode."""
+    instead of FlateDecode. ``objstm=True`` emits the modern PDF 1.5+
+    layout: every non-stream dict (catalog, pages node, page dicts) is
+    packed into a Flate-compressed /Type /ObjStm object stream and the
+    classic xref table is replaced by a cross-reference STREAM with
+    type-1/type-2 entries — the shape virtually every current PDF
+    producer writes."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -271,6 +277,9 @@ def _pdf_doc_pages(
     parent = str(pages_num).encode() + b" 0 R"
     objects = [o.replace(b"PAGESREF", parent) for o in objects]
 
+    if objstm:
+        return _pdf_emit_objstm(objects, catalog_num)
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objects, start=1):
@@ -286,6 +295,68 @@ def _pdf_doc_pages(
         + b" /Root " + str(catalog_num).encode() + b" 0 R >>\nstartxref\n"
         + str(xref_off).encode() + b"\n%%EOF\n"
     )
+    return bytes(out)
+
+
+def _pdf_emit_objstm(objects: list[bytes], catalog_num: int) -> bytes:
+    """Emit the PDF 1.5+ container for a built object list: non-stream
+    dicts packed into one Flate-compressed /Type /ObjStm, stream objects
+    top-level (the spec forbids streams inside object streams), and a
+    cross-reference STREAM (/W [1 4 2]: type-1 offsets for top-level
+    objects, type-2 (objstm, index) entries for packed ones) with /Root
+    in its dict — no classic trailer."""
+    comp_nums = [i for i, b in enumerate(objects, 1) if b"stream\n" not in b]
+    top_nums = [i for i, b in enumerate(objects, 1) if b"stream\n" in b]
+    objstm_num = len(objects) + 1
+    xref_num = len(objects) + 2
+
+    body = bytearray()
+    offs: list[tuple[int, int]] = []
+    for n in comp_nums:
+        offs.append((n, len(body)))
+        body += objects[n - 1] + b"\n"
+    header = b" ".join(
+        str(x).encode() for pair in offs for x in pair
+    ) + b" "
+    comp = zlib.compress(bytes(header) + bytes(body))
+    objstm_body = (
+        b"<< /Type /ObjStm /N " + str(len(comp_nums)).encode()
+        + b" /First " + str(len(header)).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(comp)).encode()
+        + b" >>\nstream\n" + comp + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    positions: dict[int, int] = {}
+    for n in top_nums:
+        positions[n] = len(out)
+        out += str(n).encode() + b" 0 obj\n" + objects[n - 1] + b"\nendobj\n"
+    positions[objstm_num] = len(out)
+    out += str(objstm_num).encode() + b" 0 obj\n" + objstm_body + b"\nendobj\n"
+
+    xref_pos = len(out)
+    positions[xref_num] = xref_pos
+    size = xref_num + 1
+    rows = bytearray()
+    for n in range(size):
+        if n == 0:
+            rows += b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif n in positions:
+            rows += b"\x01" + positions[n].to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:
+            rows += (
+                b"\x02"
+                + objstm_num.to_bytes(4, "big")
+                + comp_nums.index(n).to_bytes(2, "big")
+            )
+    xref_body = (
+        b"<< /Type /XRef /Size " + str(size).encode()
+        + b" /W [1 4 2] /Root " + str(catalog_num).encode() + b" 0 R"
+        + b" /Length " + str(len(rows)).encode()
+        + b" >>\nstream\n" + bytes(rows) + b"\nendstream"
+    )
+    out += str(xref_num).encode() + b" 0 obj\n" + xref_body + b"\nendobj\n"
+    out += b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
     return bytes(out)
 
 
