@@ -161,3 +161,33 @@ def test_pdf_objstm_corruption_contained():
     for cut in (len(good) // 4, len(good) // 2, len(good) - 10):
         t = extract_pdf(good[:cut])[0]
         assert isinstance(t, str)
+
+
+def test_pdf_legacy_stream_filters_parity():
+    """LZWDecode (pre-Flate-era; the TIFF coding with the same
+    early-change rule), ASCIIHexDecode, and ASCII85Decode content
+    streams must extract identically to the unfiltered document —
+    including inside the ObjStm container. Corrupted filter data stays
+    contained."""
+    import random
+
+    from universal_text_extractor_spark.kernels.pdf_kernel import extract_pdf
+    from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
+
+    base = extract_pdf(_pdf_doc_pages(random.Random(7), 3, False))[0]
+    for sf in ("lzw", "ahx", "a85"):
+        got = extract_pdf(_pdf_doc_pages(random.Random(7), 3, False, stream_filter=sf))[0]
+        assert got == base, sf
+    got = extract_pdf(
+        _pdf_doc_pages(random.Random(7), 3, False, stream_filter="lzw", objstm=True)
+    )[0]
+    assert got == base
+    # corrupt each filtered body → contained (no text for that page or
+    # the reference literals, never a crash)
+    for sf in ("lzw", "ahx", "a85"):
+        good = bytearray(_pdf_doc_pages(random.Random(7), 1, False, stream_filter=sf))
+        start = good.find(b"stream\n") + 7
+        for i in range(start, min(start + 20, len(good))):
+            good[i] ^= 0xA5
+        t = extract_pdf(bytes(good))[0]
+        assert isinstance(t, str), sf

@@ -265,10 +265,47 @@ def _stream_bytes(payload: bytes, objs, num: int) -> bytes | None:
         raw = raw.rstrip(b"\r\n")
     filt = d.get("/Filter")
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-    for f in filters:
+    parms = _resolve(objs, d.get("/DecodeParms"))
+    parms_list = parms if isinstance(parms, list) else [parms] * max(1, len(filters))
+    for fi, f in enumerate(filters):
+        parm = _resolve(objs, parms_list[fi]) if fi < len(parms_list) else None
         if f == "/FlateDecode":
             try:
                 raw = zlib.decompress(raw)
+            except Exception:
+                return None
+        elif f == "/LZWDecode":
+            # identical coding to TIFF LZW (same early-change rule; PDF's
+            # /EarlyChange default 1) — reuse that decoder. Predictors
+            # and EarlyChange 0 are outside the subset.
+            if isinstance(parm, dict) and (
+                parm.get("/Predictor", 1) != 1 or parm.get("/EarlyChange", 1) != 1
+            ):
+                return None
+            from .tiff_kernel import _lzw
+
+            try:
+                raw = _lzw(raw, 1 << 26)  # bomb-contained output cap
+            except Exception:
+                return None
+        elif f == "/ASCIIHexDecode":
+            hx = bytes(c for c in raw if c not in b"\x00\t\n\x0c\r ")
+            hx = hx.split(b">")[0]
+            if len(hx) % 2:
+                hx += b"0"  # spec: odd count behaves as if 0 appended
+            try:
+                raw = bytes.fromhex(hx.decode("ascii"))
+            except Exception:
+                return None
+        elif f == "/ASCII85Decode":
+            import base64
+
+            a85 = bytes(c for c in raw if c not in b"\x00\t\n\x0c\r ")
+            if a85.startswith(b"<~"):
+                a85 = a85[2:]
+            a85 = a85.split(b"~>")[0]
+            try:
+                raw = base64.a85decode(a85)
             except Exception:
                 return None
         elif f == "/DCTDecode":

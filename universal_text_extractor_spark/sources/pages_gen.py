@@ -169,6 +169,7 @@ def _pdf_doc_pages(
     scan_scale: int = 1,
     scan_codec: str = "flate",
     objstm: bool = False,
+    stream_filter: str | None = None,
 ) -> bytes:
     """Spec-based PDF writer. ``scan_lines`` (one list of text lines per
     page) makes each page a SCANNED page: no text operators, but a real
@@ -237,11 +238,28 @@ def _pdf_doc_pages(
                 ops.append(f"0 -14 Td ({ln}) Tj")
             ops.append("ET")
             stream = " ".join(ops).encode("latin-1")
-        if flate:
+        if stream_filter == "lzw":
+            # PDF LZWDecode is the TIFF coding — same early-change rule
+            comp = _tiff_lzw_encode(stream)
+            fname = b"/LZWDecode"
+        elif stream_filter == "ahx":
+            comp = stream.hex().encode("ascii") + b">"
+            fname = b"/ASCIIHexDecode"
+        elif stream_filter == "a85":
+            import base64 as _b64
+
+            comp = _b64.a85encode(stream) + b"~>"
+            fname = b"/ASCII85Decode"
+        elif flate:
             comp = zlib.compress(stream)
+            fname = b"/FlateDecode"
+        else:
+            comp = None
+            fname = b""
+        if comp is not None:
             body = (
-                b"<< /Length " + str(len(comp)).encode() + b" /Filter /FlateDecode >>\nstream\n"
-                + comp + b"\nendstream"
+                b"<< /Length " + str(len(comp)).encode() + b" /Filter "
+                + fname + b" >>\nstream\n" + comp + b"\nendstream"
             )
         else:
             body = (
