@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--use-ocr", action="store_true",
                     help="run the K13 glyph recognizer on image payloads "
                          "and scanned PDF pages (D8 consequent)")
+    ap.add_argument("--main-content", action="store_true",
+                    help="HTML branch emits Readability-style main content "
+                         "(boilerplate removed) instead of full-page text")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +59,7 @@ def main() -> None:
     run = run_extraction(
         spark, pages, args.out, n_buckets=args.buckets,
         num_partitions=args.partitions, use_ocr=args.use_ocr,
+        main_content=args.main_content,
     )
     print(
         f"run {run.run_id}: committed {len(run.committed_buckets)} buckets "

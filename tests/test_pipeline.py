@@ -168,3 +168,53 @@ def test_salted_repartition_breaks_host_skew(spark):
         assert min(counts) >= 0.65 * mean, counts
     finally:
         ext.unpersist()
+
+
+def test_main_content_mode(spark):
+    """main_content=True (north-star boilerplate removal): the HTML branch
+    emits extract_main_content output, every other branch stays
+    byte-identical to the default mode, and fused ≡ union holds under the
+    flag."""
+    from universal_text_extractor_spark.kernels import detect_and_decode
+    from universal_text_extractor_spark.kernels.html_kernel import (
+        extract_main_content,
+    )
+
+    pages = generate_pages_df(spark, 400, partitions=4)
+    stable = ["url", "content_type", "text", "ocr_used", "success", "error", "logs"]
+    plain = {
+        r["url"]: r
+        for r in extract_pages_fused(pages, num_partitions=8)
+        .select(*stable)
+        .collect()
+    }
+    fused = {
+        r["url"]: r
+        for r in extract_pages_fused(pages, num_partitions=8, main_content=True)
+        .select(*stable)
+        .collect()
+    }
+    union = {
+        r["url"]: r
+        for r in extract_pages(pages, num_partitions=8, main_content=True)
+        .select(*stable)
+        .collect()
+    }
+    assert set(plain) == set(fused) == set(union)
+    bad = [u for u in fused if tuple(fused[u]) != tuple(union[u])]
+    assert not bad, f"{len(bad)} fused/union mismatches under main_content"
+
+    payloads = {r["url"]: r["html"] for r in pages.collect()}
+    n_html = 0
+    for u, r in fused.items():
+        if r["content_type"] == "html":
+            n_html += 1
+            want = extract_main_content(detect_and_decode(payloads[u] or b""))
+            assert r["text"] == want, u
+            assert (
+                "Extracted main content from HTML (boilerplate removed)"
+                in r["logs"]
+            )
+        else:  # every non-html branch is unchanged by the flag
+            assert tuple(r) == tuple(plain[u]), u
+    assert n_html > 100  # the corpus is html-dominated; the mode was exercised

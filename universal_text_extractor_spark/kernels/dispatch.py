@@ -162,12 +162,19 @@ def extract_payload(
     payload: bytes,
     content_type: str | None = None,
     use_ocr: bool = False,
+    main_content: bool = False,
 ) -> tuple[str, bool, bool, str | None, list[str]]:
     """The dispatcher (reference utils/file_handlers.py:147-259).
 
     Returns ``(text, ocr_used, success, error, logs)`` where
     ``success = no exception AND text.strip() != ""`` (D2+D3 semantics,
     reference :255-257 and app.py:494-500).
+
+    ``main_content=True`` swaps the HTML branch to Readability-style
+    boilerplate removal (north-star extension; BASELINE.json north_star
+    "DOM-tree boilerplate removal (text-density and link-density
+    heuristics)") — every other branch is unchanged, so the reference
+    byte-identity contract holds for all non-HTML types in this mode too.
     """
     logs: list[str] = []
     ocr_used = False
@@ -202,8 +209,16 @@ def extract_payload(
             text, k_logs = extract_rtf(decode_utf8_replace(payload or b""))
             logs.extend(k_logs)
         elif file_type == "html":
-            text, k_logs = extract_html(detect_and_decode(payload or b""))
-            logs.extend(k_logs)
+            if main_content:
+                from .html_kernel import extract_main_content
+
+                text = extract_main_content(detect_and_decode(payload or b""))
+                logs.append(
+                    "Extracted main content from HTML (boilerplate removed)"
+                )
+            else:
+                text, k_logs = extract_html(detect_and_decode(payload or b""))
+                logs.extend(k_logs)
         elif file_type == "xml":
             text, k_logs = extract_xml(decode_utf8_replace(payload or b""))
             logs.extend(k_logs)

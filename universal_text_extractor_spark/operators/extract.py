@@ -67,7 +67,7 @@ EXTRACTED_COLUMNS = (
 )
 
 
-def _branch_udf(family: str, use_ocr: bool = False):
+def _branch_udf(family: str, use_ocr: bool = False, main_content: bool = False):
     """Specialized Arrow UDF for one dispatch-branch family (html / pdf /
     text / office / image). The kernel is invoked per element over an Arrow
     batch (vectorized transfer; pure-Python kernel work is the unavoidable
@@ -80,7 +80,7 @@ def _branch_udf(family: str, use_ocr: bool = False):
         for u, payload, ct in zip(url, html, ctype):
             t0 = time.perf_counter_ns()
             text, ocr_used, success, error, logs = extract_payload(
-                u, payload, ct, use_ocr=use_ocr
+                u, payload, ct, use_ocr=use_ocr, main_content=main_content
             )
             rows.append(
                 (text, ocr_used, success, error, logs,
@@ -106,6 +106,7 @@ def extract_pages(
     salt: int = DEFAULT_SALT,
     persist_base: bool = False,
     use_ocr: bool = False,
+    main_content: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, …) → extracted DataFrame (EXTRACTED_COLUMNS
     + extracted_at). One shuffle, reused by every branch.
@@ -113,7 +114,8 @@ def extract_pages(
     ``use_ocr=True`` runs the K13 glyph recognizer on image payloads (the
     D8 consequent — reference extract_text_from_file's use_ocr flag);
     default False preserves the metadata-only image path and the locked
-    goldens.
+    goldens. ``main_content=True`` swaps the HTML branch to Readability-style
+    boilerplate removal (north-star extension; all other branches unchanged).
 
     ``persist_base=True`` materializes the repartitioned+typed base into the
     block-store (MEMORY_AND_DISK) before fan-out, so the 8 branch stages
@@ -145,7 +147,7 @@ def extract_pages(
     all_typed = [t for types in BRANCH_FAMILIES.values() for t in types]
     branches = []
     for family, types in BRANCH_FAMILIES.items():
-        udf = _branch_udf(family, use_ocr=use_ocr)
+        udf = _branch_udf(family, use_ocr=use_ocr, main_content=main_content)
         pred = (
             F.col("content_type") == types[0]
             if len(types) == 1
@@ -187,6 +189,7 @@ def extract_pages_fused(
     num_partitions: int | None = None,
     salt: int = DEFAULT_SALT,
     use_ocr: bool = False,
+    main_content: bool = False,
 ) -> DataFrame:
     """Single-pass variant of :func:`extract_pages`: one ``mapInPandas``
     stage dispatches each Arrow batch to the same per-family kernels the
@@ -238,7 +241,7 @@ def extract_pages_fused(
             ):
                 t0 = time.perf_counter_ns()
                 text, ocr_used, success, error, logs = extract_payload(
-                    u, payload, ct, use_ocr=use_ocr
+                    u, payload, ct, use_ocr=use_ocr, main_content=main_content
                 )
                 rows.append(
                     (

@@ -117,6 +117,7 @@ def run_extraction(
     fail_after_buckets: int | None = None,
     fused: bool = True,
     use_ocr: bool = False,
+    main_content: bool = False,
     storage: StorageBackend = DEFAULT_STORAGE,
 ) -> ExtractionRun:
     """Execute (or resume) an extraction run over ``pages`` into
@@ -243,7 +244,10 @@ def run_extraction(
         # partition-pruned: only the bucket=b directory of the stage is read
         chunk = staged.filter(F.col("bucket") == b).drop("bucket")
         extractor = extract_pages_fused if fused else extract_pages
-        extracted = extractor(chunk, num_partitions=num_partitions, use_ocr=use_ocr)
+        extracted = extractor(
+            chunk, num_partitions=num_partitions, use_ocr=use_ocr,
+            main_content=main_content,
+        )
         # write-then-publish: data, metrics, manifest — in that order
         storage.write_bucket(extracted, out_dir, b)
         written = storage.read_bucket(spark, out_dir, b)
