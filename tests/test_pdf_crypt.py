@@ -1,0 +1,168 @@
+"""Encrypted-PDF tests (standard security handler, kernels/pdf_crypt.py).
+
+The crypto primitives are locked against PUBLISHED known-answer vectors
+(FIPS-197 appendix C blocks, the classic RC4 vectors) so the generated
+S-box and both cipher directions are checked against the real algorithms,
+not just against our own writer. Document-level tests then assert
+byte-identical extraction vs the unencrypted twin for every supported
+mode (the invariant real crawls need: encryption must be transparent,
+exactly as PyMuPDF makes it for the reference)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from universal_text_extractor_spark.kernels.pdf_crypt import (
+    StdDecryptor,
+    UnsupportedEncryption,
+    aes_cbc_decrypt,
+    aes_cbc_encrypt,
+    aes_decrypt_block,
+    aes_encrypt_block,
+    compute_file_key,
+    compute_o_entry,
+    compute_u_entry,
+    make_handler,
+    rc4,
+)
+from universal_text_extractor_spark.kernels.pdf_kernel import (
+    CORRUPT_LITERAL,
+    extract_pdf,
+)
+from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
+
+MODES = ("rc4-40", "rc4-128", "aesv2")
+
+
+def test_rc4_known_answer_vectors():
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    assert rc4(b"Secret", b"Attack at dawn").hex() == "45a01f645fc35b383552544b9bf5"
+    # symmetric
+    assert rc4(b"Key", rc4(b"Key", b"roundtrip")) == b"roundtrip"
+
+
+def test_aes_fips197_vectors():
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    # Appendix C.1 (AES-128)
+    ct = aes_encrypt_block(bytes(range(16)), pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert aes_decrypt_block(bytes(range(16)), ct) == pt
+    # Appendix C.2 (AES-192)
+    ct = aes_encrypt_block(bytes(range(24)), pt)
+    assert ct.hex() == "dda97ca4864cdfe06eaf70a0ec0d7191"
+    assert aes_decrypt_block(bytes(range(24)), ct) == pt
+    # Appendix C.3 (AES-256)
+    ct = aes_encrypt_block(bytes(range(32)), pt)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert aes_decrypt_block(bytes(range(32)), ct) == pt
+
+
+def test_aes_cbc_roundtrip_and_containment():
+    key = bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes((i * 7) & 0xFF for i in range(n))
+        enc = aes_cbc_encrypt(key, b"\x5a" * 16, data)
+        assert enc[:16] == b"\x5a" * 16 and len(enc) % 16 == 0
+        assert aes_cbc_decrypt(key, enc) == data
+    # malformed inputs are contained, never raised
+    assert aes_cbc_decrypt(key, b"") is None
+    assert aes_cbc_decrypt(key, b"x" * 17) is None
+    assert aes_cbc_decrypt(key, b"\x00" * 16) is None  # IV only, no block
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("flate", [True, False])
+def test_encrypted_pdf_extracts_byte_identical(mode, flate):
+    plain = extract_pdf(_pdf_doc_pages(random.Random(11), 3, flate))
+    enc = extract_pdf(_pdf_doc_pages(random.Random(11), 3, flate, encrypt=mode))
+    assert enc[0] == plain[0]
+    assert "PDF is encrypted; opened with empty user password" in enc[2]
+
+
+def test_encrypted_scanned_pdf_ocr():
+    """OCR must work THROUGH decryption (image XObject stream is
+    enciphered too)."""
+    lines = [["HELLO WORLD", "SECOND LINE"]]
+    ref = extract_pdf(
+        _pdf_doc_pages(random.Random(5), 0, True, scan_lines=lines), use_ocr=True
+    )
+    enc = extract_pdf(
+        _pdf_doc_pages(random.Random(5), 0, True, scan_lines=lines, encrypt="aesv2"),
+        use_ocr=True,
+    )
+    assert enc[0] == ref[0]
+    assert "HELLO WORLD" in enc[0] and "(OCR)" in enc[0]
+
+
+def test_password_protected_pdf_is_refused():
+    """Non-empty user password fails Algorithm 6 → the reference's
+    corrupt/protected literal (PyMuPDF refusal behavior)."""
+    doc = _pdf_doc_pages(
+        random.Random(11), 2, True, encrypt="rc4-128", user_password=b"hunter2"
+    )
+    text, ocr, logs = extract_pdf(doc)
+    assert text == CORRUPT_LITERAL
+    assert any("password required" in l for l in logs)
+
+
+def test_unsupported_encryption_schemes_are_refused():
+    # V=5 (AES-256) is the declared honest-unsupported case
+    h = make_handler({"/Filter": "/Standard", "/V": 5, "/R": 6,
+                      "/O": b"\x00" * 48, "/U": b"\x00" * 48, "/P": -44}, b"")
+    assert isinstance(h, UnsupportedEncryption)
+    # non-standard handler
+    h = make_handler({"/Filter": "/Custom", "/O": b"", "/U": b"", "/P": -1}, b"")
+    assert isinstance(h, UnsupportedEncryption)
+    # V=4 with an unknown crypt filter method
+    h = make_handler(
+        {"/Filter": "/Standard", "/V": 4, "/R": 4, "/O": b"\x00" * 32,
+         "/U": b"\x00" * 32, "/P": -44,
+         "/CF": {"/StdCF": {"/CFM": "/AESV3"}}, "/StmF": "/StdCF"},
+        b"",
+    )
+    assert isinstance(h, UnsupportedEncryption)
+    # malformed dict never raises
+    h = make_handler({"/Filter": "/Standard", "/V": "x"}, b"")
+    assert isinstance(h, UnsupportedEncryption)
+
+
+def test_encrypted_pdf_corruption_contained():
+    """Flipping bytes anywhere in an encrypted document (incl. inside the
+    O/U entries and the ciphertext) must never crash — the kernel returns
+    a string (the corrupt literal or partial text) for every cut/flip."""
+    good = _pdf_doc_pages(random.Random(7), 2, True, encrypt="aesv2")
+    for cut in (len(good) // 4, len(good) // 2, len(good) - 10):
+        t = extract_pdf(good[:cut])[0]
+        assert isinstance(t, str)
+    b = bytearray(good)
+    for pos in range(50, len(b), max(1, len(b) // 40)):
+        mut = bytearray(good)
+        mut[pos] ^= 0xA5
+        t = extract_pdf(bytes(mut))[0]
+        assert isinstance(t, str)
+
+
+def test_per_object_keys_differ():
+    """Two streams enciphered under the same file key must use different
+    per-object keys (Algorithm 1 salts with the object number)."""
+    h = StdDecryptor(b"\x01" * 16, aes=False)
+    c1 = h.encrypt(1, b"same plaintext bytes")
+    c2 = h.encrypt(2, b"same plaintext bytes")
+    assert c1 != c2
+    assert h.decrypt(1, c1) == b"same plaintext bytes"
+    assert h.decrypt(2, c2) == b"same plaintext bytes"
+
+
+def test_file_key_derivation_is_r_sensitive():
+    """R2 (no MD5 hardening) and R3 (50× MD5) must derive different keys
+    from identical inputs — guards the revision branch in Algorithm 2."""
+    o = compute_o_entry(b"owner", b"", 2, 5)
+    k2 = compute_file_key(b"", o, -44, b"idid", 2, 5)
+    k3 = compute_file_key(b"", o, -44, b"idid", 3, 5)
+    assert k2 != k3
+    u2 = compute_u_entry(k2, b"idid", 2)
+    u3 = compute_u_entry(k3, b"idid", 3)
+    assert len(u2) == 32 and len(u3) == 32 and u2 != u3

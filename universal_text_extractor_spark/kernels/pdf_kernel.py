@@ -187,25 +187,63 @@ def _parse_literal_string(b: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
-def _scan_objects(payload: bytes) -> dict[int, tuple[dict | object, int]]:
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_FILE_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+
+
+def _find_crypt(payload: bytes, objs, gens):
+    """Locate /Encrypt in a trailer (classic or xref-stream dict) and build
+    the standard-security-handler decryptor (kernels/pdf_crypt.py). Returns
+    None (unencrypted), a StdDecryptor (empty-user-password document — the
+    kind PyMuPDF opens transparently, reference utils/file_handlers.py:262),
+    or UnsupportedEncryption. The regex scan matches the kernel's
+    no-xref-needed design: the LAST match wins (incremental updates)."""
+    m = None
+    for m in _ENCRYPT_REF_RE.finditer(payload):
+        pass
+    if m is None:
+        return None
+    from .pdf_crypt import UnsupportedEncryption, make_handler
+
+    entry = objs.get(int(m.group(1)))
+    enc = entry[0] if entry else None
+    if not isinstance(enc, dict):
+        return UnsupportedEncryption("unresolvable /Encrypt dict")
+    idm = None
+    for idm in _FILE_ID_RE.finditer(payload):
+        pass
+    file_id = b""
+    if idm is not None:
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", idm.group(1))
+        if len(hx) % 2 == 0:
+            file_id = bytes.fromhex(hx.decode("ascii"))
+    return make_handler(enc, file_id, gens)
+
+
+def _scan_objects(payload: bytes):
     """Map obj number -> (parsed top value, offset after the value) in
-    document order. xref tables/streams are ignored (robust against
+    document order; returns ``(objs, crypt)`` where crypt is the document
+    decryptor (None / StdDecryptor / UnsupportedEncryption — see
+    :func:`_find_crypt`). xref tables/streams are ignored (robust against
     corruption — the scan finds every top-level object without them),
     but /Type /ObjStm object streams (PDF 1.5+, where modern writers
     compress the page-tree dicts; reference PyMuPDF reads them natively)
     ARE unpacked: their embedded objects get offset None (they are plain
     values — the spec forbids streams inside object streams)."""
     objs: dict[int, tuple[object, int | None]] = {}
+    gens: dict[int, int] = {}
     for m in _OBJ_RE.finditer(payload):
         num = int(m.group(1))
         val, end = _parse_obj(payload, m.end())
         if num not in objs:
             objs[num] = (val, end)
+            gens[num] = int(m.group(2))
+    crypt = _find_crypt(payload, objs, gens)
     for num in list(objs):
         d = objs[num][0]
         if not (isinstance(d, dict) and d.get("/Type") == "/ObjStm"):
             continue
-        data = _stream_bytes(payload, objs, num)
+        data = _stream_bytes(payload, objs, num, crypt)
         n_objs = _resolve(objs, d.get("/N"))
         first = _resolve(objs, d.get("/First"))
         if data is None or not isinstance(n_objs, int) or not isinstance(first, int):
@@ -226,7 +264,7 @@ def _scan_objects(payload: bytes) -> dict[int, tuple[dict | object, int]]:
             except Exception:
                 continue
             objs[onum] = (val, None)
-    return objs
+    return objs, crypt
 
 
 def _resolve(objs, v):
@@ -238,7 +276,7 @@ def _resolve(objs, v):
     return v
 
 
-def _stream_bytes(payload: bytes, objs, num: int) -> bytes | None:
+def _stream_bytes(payload: bytes, objs, num: int, crypt=None) -> bytes | None:
     entry = objs.get(num)
     if entry is None:
         return None
@@ -263,6 +301,19 @@ def _stream_bytes(payload: bytes, objs, num: int) -> bytes | None:
         e = payload.find(b"endstream", start)
         raw = payload[start:e] if e >= 0 else payload[start:]
         raw = raw.rstrip(b"\r\n")
+    if crypt is not None:
+        # encrypted document: every top-level stream is enciphered with the
+        # per-object key BEFORE the filter stack applies (§7.6.2); an
+        # UnsupportedEncryption sentinel has no .decrypt → contained None
+        dec = getattr(crypt, "decrypt", None)
+        if dec is None:
+            return None
+        try:
+            raw = dec(num, raw)
+        except Exception:
+            return None
+        if raw is None:
+            return None
     filt = d.get("/Filter")
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
     parms = _resolve(objs, d.get("/DecodeParms"))
@@ -429,7 +480,7 @@ def _content_text(content: bytes) -> str:
     return "".join(out)
 
 
-def _page_image_gray(payload: bytes, objs, page_dict):
+def _page_image_gray(payload: bytes, objs, page_dict, crypt=None):
     """The scanned-page raster: the page's /XObject image (DeviceGray,
     8-bit) decoded to an (H, W) uint8 array — the from-scratch stand-in
     for the reference's page.get_pixmap() rasterization (which this
@@ -466,7 +517,7 @@ def _page_image_gray(payload: bytes, objs, page_dict):
             # baseline JPEG kernel does
             if d.get("/ColorSpace") not in ("/DeviceGray", "/DeviceRGB"):
                 continue
-            raw = _stream_bytes(payload, objs, ref.num)
+            raw = _stream_bytes(payload, objs, ref.num, crypt)
             if raw is None:
                 continue
             from .image_prep import to_grayscale
@@ -478,7 +529,7 @@ def _page_image_gray(payload: bytes, objs, page_dict):
             return to_grayscale(arr)
         if d.get("/ColorSpace") != "/DeviceGray":
             continue
-        raw = _stream_bytes(payload, objs, ref.num)
+        raw = _stream_bytes(payload, objs, ref.num, crypt)
         if raw is None or len(raw) < w * h:
             continue
         return np.frombuffer(raw, np.uint8, w * h).reshape(h, w)
@@ -500,7 +551,20 @@ def extract_pdf(payload: bytes, use_ocr: bool = False) -> tuple[str, bool, list[
         if not payload.startswith(b"%PDF"):
             logs.append("No text could be extracted from the PDF")
             return CORRUPT_LITERAL, False, logs
-        objs = _scan_objects(payload)
+        objs, crypt = _scan_objects(payload)
+        if crypt is not None:
+            from .pdf_crypt import UnsupportedEncryption
+
+            if isinstance(crypt, UnsupportedEncryption):
+                # PyMuPDF refuses these (password required / unknown
+                # scheme) and the reference lands on the corrupt/protected
+                # literal — same observable here
+                logs.append(f"PDF encryption unsupported: {crypt.reason}")
+                logs.append("No text could be extracted from the PDF")
+                return CORRUPT_LITERAL, False, logs
+            logs.append(
+                "PDF is encrypted; opened with empty user password"
+            )
         page_nums = _page_order(payload, objs)
         total_pages = len(page_nums)
         logs.append(f"PDF has {total_pages} pages")
@@ -520,7 +584,7 @@ def extract_pdf(payload: bytes, use_ocr: bool = False) -> tuple[str, bool, list[
             )
             page_text = ""
             for r in refs:
-                raw = _stream_bytes(payload, objs, r.num)
+                raw = _stream_bytes(payload, objs, r.num, crypt)
                 if raw:
                     page_text += _content_text(raw)
             if page_text.strip():
@@ -534,7 +598,7 @@ def extract_pdf(payload: bytes, use_ocr: bool = False) -> tuple[str, bool, list[
                 try:
                     from .ocr_kernel import NO_TEXT_LITERAL, recognize_gray
 
-                    gray = _page_image_gray(payload, objs, d)
+                    gray = _page_image_gray(payload, objs, d, crypt)
                     ocr_text = recognize_gray(gray) if gray is not None else ""
                     ocr_text = ocr_text if ocr_text.strip() else NO_TEXT_LITERAL
                     # perform_ocr never returns empty (reference

@@ -170,6 +170,8 @@ def _pdf_doc_pages(
     scan_codec: str = "flate",
     objstm: bool = False,
     stream_filter: str | None = None,
+    encrypt: str | None = None,
+    user_password: bytes = b"",
 ) -> bytes:
     """Spec-based PDF writer. ``scan_lines`` (one list of text lines per
     page) makes each page a SCANNED page: no text operators, but a real
@@ -182,12 +184,59 @@ def _pdf_doc_pages(
     packed into a Flate-compressed /Type /ObjStm object stream and the
     classic xref table is replaced by a cross-reference STREAM with
     type-1/type-2 entries — the shape virtually every current PDF
-    producer writes."""
+    producer writes. ``encrypt`` ∈ {'rc4-40', 'rc4-128', 'aesv2'} emits a
+    standard-security-handler encrypted document (owner password set,
+    user password ``user_password`` — default empty, the
+    openable-without-prompting shape that dominates real crawls); the
+    derivation helpers are the shared spec constants of
+    kernels/pdf_crypt.py, the document structure on each side is
+    independent (same pattern as the OCR font table)."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
         objects.append(body)
         return len(objects)  # 1-based object number
+
+    handler = None
+    enc_meta: tuple[bytes, bytes, bytes, int, int, int] | None = None
+    if encrypt is not None:
+        import hashlib as _hl
+
+        from ..kernels.pdf_crypt import (
+            StdDecryptor,
+            compute_file_key,
+            compute_o_entry,
+            compute_u_entry,
+        )
+
+        assert not objstm, "encrypt + objstm not emitted by this writer"
+        r, v, keylen = {
+            "rc4-40": (2, 1, 5),
+            "rc4-128": (3, 2, 16),
+            "aesv2": (4, 4, 16),
+        }[encrypt]
+        p_flags = -44
+        file_id = _hl.md5(
+            b"utes-pdf-id" + repr((npages, flate, encrypt, scan_scale)).encode()
+        ).digest()
+        o_entry = compute_o_entry(b"owner-secret", user_password, r, keylen)
+        file_key = compute_file_key(
+            user_password, o_entry, p_flags, file_id, r, keylen
+        )
+        u_entry = compute_u_entry(file_key, file_id, r)
+        handler = StdDecryptor(file_key, aes=(encrypt == "aesv2"))
+        enc_meta = (o_entry, u_entry, file_id, p_flags, r, v)
+
+    def enc_stream(data: bytes) -> bytes:
+        """Encrypt a stream body for the NEXT object number (what the
+        following add() call will assign)."""
+        if handler is None:
+            return data
+        num = len(objects) + 1
+        import hashlib as _hl
+
+        iv = _hl.md5(b"utes-pdf-iv%d" % num).digest()[:16]
+        return handler.encrypt(num, data, iv=iv)
 
     if scan_lines is not None:
         npages = len(scan_lines)
@@ -211,6 +260,7 @@ def _pdf_doc_pages(
             else:
                 comp = zlib.compress(bytes(px[0] for row in rows for px in row))
                 filter_name = b"/FlateDecode"
+            comp = enc_stream(comp)
             img_num = add(
                 b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
                 + b" /Height " + str(h).encode()
@@ -257,14 +307,16 @@ def _pdf_doc_pages(
             comp = None
             fname = b""
         if comp is not None:
+            comp = enc_stream(comp)
             body = (
                 b"<< /Length " + str(len(comp)).encode() + b" /Filter "
                 + fname + b" >>\nstream\n" + comp + b"\nendstream"
             )
         else:
+            raw = enc_stream(stream)
             body = (
-                b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
-                + stream + b"\nendstream"
+                b"<< /Length " + str(len(raw)).encode() + b" >>\nstream\n"
+                + raw + b"\nendstream"
             )
         content_nums.append(add(body))
 
@@ -291,6 +343,28 @@ def _pdf_doc_pages(
         b"<< /Type /Pages /Kids " + kids + b" /Count " + str(npages).encode() + b" >>"
     )
     catalog_num = add(b"<< /Type /Catalog /Pages " + str(pages_num).encode() + b" 0 R >>")
+    trailer_extra = b""
+    if enc_meta is not None:
+        o_entry, u_entry, file_id, p_flags, r, v = enc_meta
+        enc_body = (
+            b"<< /Filter /Standard /V " + str(v).encode()
+            + b" /R " + str(r).encode()
+            + b" /Length " + str(8 * len(handler.file_key)).encode()
+            + b" /O <" + o_entry.hex().encode() + b">"
+            + b" /U <" + u_entry.hex().encode() + b">"
+            + b" /P " + str(p_flags).encode()
+        )
+        if encrypt == "aesv2":
+            enc_body += (
+                b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+                b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+        enc_num = add(enc_body + b" >>")
+        idhex = file_id.hex().encode()
+        trailer_extra = (
+            b" /Encrypt " + str(enc_num).encode() + b" 0 R"
+            + b" /ID [<" + idhex + b"> <" + idhex + b">]"
+        )
     # patch parent refs
     parent = str(pages_num).encode() + b" 0 R"
     objects = [o.replace(b"PAGESREF", parent) for o in objects]
@@ -310,7 +384,8 @@ def _pdf_doc_pages(
         out += ("%010d 00000 n \n" % off).encode()
     out += (
         b"trailer\n<< /Size " + str(len(objects) + 1).encode()
-        + b" /Root " + str(catalog_num).encode() + b" 0 R >>\nstartxref\n"
+        + b" /Root " + str(catalog_num).encode() + b" 0 R"
+        + trailer_extra + b" >>\nstartxref\n"
         + str(xref_off).encode() + b"\n%%EOF\n"
     )
     return bytes(out)
