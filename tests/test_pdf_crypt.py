@@ -166,3 +166,20 @@ def test_file_key_derivation_is_r_sensitive():
     u2 = compute_u_entry(k2, b"idid", 2)
     u3 = compute_u_entry(k3, b"idid", 3)
     assert len(u2) == 32 and len(u3) == 32 and u2 != u3
+
+
+@pytest.mark.parametrize("mode", ["rc4-128", "aesv2"])
+def test_encrypted_objstm_pdf(mode):
+    """The modern encrypted shape: 1.5+ ObjStm layout + encryption. The
+    ObjStm container is enciphered under its own object number, embedded
+    objects are not separately encrypted, the xref STREAM is plaintext."""
+    ref = extract_pdf(_pdf_doc_pages(random.Random(11), 3, True))
+    enc = extract_pdf(
+        _pdf_doc_pages(random.Random(11), 3, True, objstm=True, encrypt=mode)
+    )
+    assert enc[0] == ref[0]
+    assert "PDF is encrypted; opened with empty user password" in enc[2]
+    # corruption containment on the combined layout
+    good = _pdf_doc_pages(random.Random(7), 2, True, objstm=True, encrypt=mode)
+    for cut in (len(good) // 3, len(good) - 15):
+        assert isinstance(extract_pdf(good[:cut])[0], str)

@@ -209,7 +209,6 @@ def _pdf_doc_pages(
             compute_u_entry,
         )
 
-        assert not objstm, "encrypt + objstm not emitted by this writer"
         r, v, keylen = {
             "rc4-40": (2, 1, 5),
             "rc4-128": (3, 2, 16),
@@ -370,7 +369,11 @@ def _pdf_doc_pages(
     objects = [o.replace(b"PAGESREF", parent) for o in objects]
 
     if objstm:
-        return _pdf_emit_objstm(objects, catalog_num)
+        return _pdf_emit_objstm(
+            objects, catalog_num, handler=handler,
+            enc_num=(enc_num if enc_meta is not None else None),
+            enc_extra=trailer_extra,
+        )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -391,15 +394,31 @@ def _pdf_doc_pages(
     return bytes(out)
 
 
-def _pdf_emit_objstm(objects: list[bytes], catalog_num: int) -> bytes:
+def _pdf_emit_objstm(
+    objects: list[bytes],
+    catalog_num: int,
+    handler=None,
+    enc_num: int | None = None,
+    enc_extra: bytes = b"",
+) -> bytes:
     """Emit the PDF 1.5+ container for a built object list: non-stream
     dicts packed into one Flate-compressed /Type /ObjStm, stream objects
     top-level (the spec forbids streams inside object streams), and a
     cross-reference STREAM (/W [1 4 2]: type-1 offsets for top-level
     objects, type-2 (objstm, index) entries for packed ones) with /Root
-    in its dict — no classic trailer."""
-    comp_nums = [i for i, b in enumerate(objects, 1) if b"stream\n" not in b]
-    top_nums = [i for i, b in enumerate(objects, 1) if b"stream\n" in b]
+    in its dict — no classic trailer. With ``handler`` (encrypted
+    document): the ObjStm body is enciphered under ITS object number
+    (embedded objects are not separately encrypted — §7.6.2), the
+    /Encrypt dict stays top-level (a reader must parse it before it can
+    decrypt anything), and the xref STREAM itself is never encrypted."""
+    comp_nums = [
+        i for i, b in enumerate(objects, 1)
+        if b"stream\n" not in b and i != enc_num
+    ]
+    top_nums = [
+        i for i, b in enumerate(objects, 1)
+        if b"stream\n" in b or i == enc_num
+    ]
     objstm_num = len(objects) + 1
     xref_num = len(objects) + 2
 
@@ -412,6 +431,11 @@ def _pdf_emit_objstm(objects: list[bytes], catalog_num: int) -> bytes:
         str(x).encode() for pair in offs for x in pair
     ) + b" "
     comp = zlib.compress(bytes(header) + bytes(body))
+    if handler is not None:
+        import hashlib as _hl
+
+        iv = _hl.md5(b"utes-pdf-iv%d" % objstm_num).digest()[:16]
+        comp = handler.encrypt(objstm_num, comp, iv=iv)
     objstm_body = (
         b"<< /Type /ObjStm /N " + str(len(comp_nums)).encode()
         + b" /First " + str(len(header)).encode()
@@ -445,6 +469,7 @@ def _pdf_emit_objstm(objects: list[bytes], catalog_num: int) -> bytes:
     xref_body = (
         b"<< /Type /XRef /Size " + str(size).encode()
         + b" /W [1 4 2] /Root " + str(catalog_num).encode() + b" 0 R"
+        + enc_extra
         + b" /Length " + str(len(rows)).encode()
         + b" >>\nstream\n" + bytes(rows) + b"\nendstream"
     )
