@@ -33,7 +33,7 @@ from universal_text_extractor_spark.kernels.pdf_kernel import (
 )
 from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
 
-MODES = ("rc4-40", "rc4-128", "aesv2")
+MODES = ("rc4-40", "rc4-128", "aesv2", "aes256")
 
 
 def test_rc4_known_answer_vectors():
@@ -109,9 +109,18 @@ def test_password_protected_pdf_is_refused():
 
 
 def test_unsupported_encryption_schemes_are_refused():
-    # V=5 (AES-256) is the declared honest-unsupported case
+    # V=5 without its crypt filter dict → refused, not guessed
     h = make_handler({"/Filter": "/Standard", "/V": 5, "/R": 6,
                       "/O": b"\x00" * 48, "/U": b"\x00" * 48, "/P": -44}, b"")
+    assert isinstance(h, UnsupportedEncryption)
+    # V=5 with AESV3 but a garbage /U → fails the R6 hash check CLOSED
+    h = make_handler(
+        {"/Filter": "/Standard", "/V": 5, "/R": 6, "/O": b"\x00" * 48,
+         "/U": b"\x00" * 48, "/UE": b"\x00" * 32, "/P": -44,
+         "/CF": {"/StdCF": {"/CFM": "/AESV3", "/Length": 32}},
+         "/StmF": "/StdCF"},
+        b"",
+    )
     assert isinstance(h, UnsupportedEncryption)
     # non-standard handler
     h = make_handler({"/Filter": "/Custom", "/O": b"", "/U": b"", "/P": -1}, b"")
@@ -183,3 +192,29 @@ def test_encrypted_objstm_pdf(mode):
     good = _pdf_doc_pages(random.Random(7), 2, True, objstm=True, encrypt=mode)
     for cut in (len(good) // 3, len(good) - 15):
         assert isinstance(extract_pdf(good[:cut])[0], str)
+
+
+def test_aes256_objstm_and_password():
+    """V=5/R6: modern layout round-trip + fail-closed password check."""
+    ref = extract_pdf(_pdf_doc_pages(random.Random(11), 3, True))
+    enc = extract_pdf(
+        _pdf_doc_pages(random.Random(11), 3, True, objstm=True, encrypt="aes256")
+    )
+    assert enc[0] == ref[0]
+    doc = _pdf_doc_pages(
+        random.Random(11), 2, True, encrypt="aes256", user_password=b"pw"
+    )
+    text, _, logs = extract_pdf(doc)
+    assert text == CORRUPT_LITERAL
+    assert any("password required" in l for l in logs)
+
+
+def test_hash_r6_structure():
+    """The R6 hardening must be salt- and udata-sensitive and 32 bytes."""
+    from universal_text_extractor_spark.kernels.pdf_crypt import hash_r6
+
+    a = hash_r6(b"", b"saltsalt")
+    assert len(a) == 32
+    assert a != hash_r6(b"", b"SALTSALT")
+    assert a != hash_r6(b"", b"saltsalt", b"udata")
+    assert a == hash_r6(b"", b"saltsalt")  # deterministic

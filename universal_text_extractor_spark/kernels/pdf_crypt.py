@@ -12,10 +12,10 @@ opens them without prompting. This module is the from-scratch stand-in:
 - File-key derivation for revisions 2/3/4 (Algorithm 2: padded password +
   /O + little-endian signed /P + file ID, with the 50-fold MD5 hardening
   for R≥3) and the empty-user-password check of Algorithm 6.
-- V=5 (AES-256 / R6) is an honest unsupported case: its SHA-2 hardening
-  loop has enough fiddly detail that a misremembered variant would
-  round-trip against our own writer while rejecting real files — the
-  same integrity rule that keeps the JPEG QM-coder out (SURVEY.md §8c).
+- AES-256 (V=5, R5/R6 /AESV3) — the scheme every current PDF producer
+  emits. The R6 SHA-2 hardening loop is reconstructed from the spec
+  (see the integrity note above :func:`hash_r6`); it fails CLOSED (the
+  U-hash check rejects, never mis-decrypts) if any detail is off.
 
 Primitive integrity: MD5 comes from hashlib; RC4 and AES are implemented
 here from the algorithm definitions (the AES S-box is GENERATED from the
@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import hashlib
 import struct
+
+import numpy as _np
 
 # §7.6.3.3 padding string (Algorithm 2 step a) — spec constant.
 PAD = bytes(
@@ -120,6 +122,26 @@ _SBOX, _INV_SBOX, _GMUL = _build_tables()
 _MUL = {c: [_GMUL(c, x) for x in range(256)] for c in (2, 3, 9, 11, 13, 14)}
 
 
+def _build_enc_ttables():
+    """Combined SubBytes+ShiftRows+MixColumns lookup tables over packed
+    32-bit column words (byte 0 = MSB) — the classic table-driven form.
+    ~10× the per-block speed of the byte-wise loop; the R6 password
+    hardening runs thousands of sequential block encryptions per
+    document, so this is a hot path, not a micro-optimization."""
+    t0, t1, t2, t3 = [0] * 256, [0] * 256, [0] * 256, [0] * 256
+    for x in range(256):
+        s = _SBOX[x]
+        s2, s3 = _MUL[2][s], _MUL[3][s]
+        t0[x] = (s2 << 24) | (s << 16) | (s << 8) | s3
+        t1[x] = (s3 << 24) | (s2 << 16) | (s << 8) | s
+        t2[x] = (s << 24) | (s3 << 16) | (s2 << 8) | s
+        t3[x] = (s << 24) | (s << 16) | (s3 << 8) | s2
+    return t0, t1, t2, t3
+
+
+_T0, _T1, _T2, _T3 = _build_enc_ttables()
+
+
 def _expand_key(key: bytes) -> list[list[int]]:
     """Key schedule → list of 4-byte words (Nb*(Nr+1) words)."""
     nk = len(key) // 4
@@ -139,35 +161,42 @@ def _expand_key(key: bytes) -> list[list[int]]:
     return words
 
 
+def _packed_round_keys(words) -> list[int]:
+    """Key-schedule words → packed 32-bit ints (byte 0 = MSB), one per
+    column, matching the T-table state convention."""
+    return [
+        (w[0] << 24) | (w[1] << 16) | (w[2] << 8) | w[3] for w in words
+    ]
+
+
+def _encrypt_words(rk: list[int], nr: int, w0: int, w1: int, w2: int, w3: int):
+    """One block over packed column words (T-table rounds)."""
+    t0, t1, t2, t3 = _T0, _T1, _T2, _T3
+    sb = _SBOX
+    w0 ^= rk[0]
+    w1 ^= rk[1]
+    w2 ^= rk[2]
+    w3 ^= rk[3]
+    k = 4
+    for _ in range(nr - 1):
+        n0 = t0[w0 >> 24] ^ t1[(w1 >> 16) & 255] ^ t2[(w2 >> 8) & 255] ^ t3[w3 & 255] ^ rk[k]
+        n1 = t0[w1 >> 24] ^ t1[(w2 >> 16) & 255] ^ t2[(w3 >> 8) & 255] ^ t3[w0 & 255] ^ rk[k + 1]
+        n2 = t0[w2 >> 24] ^ t1[(w3 >> 16) & 255] ^ t2[(w0 >> 8) & 255] ^ t3[w1 & 255] ^ rk[k + 2]
+        n3 = t0[w3 >> 24] ^ t1[(w0 >> 16) & 255] ^ t2[(w1 >> 8) & 255] ^ t3[w2 & 255] ^ rk[k + 3]
+        w0, w1, w2, w3 = n0, n1, n2, n3
+        k += 4
+    # final round: Sub+Shift only
+    n0 = (sb[w0 >> 24] << 24) | (sb[(w1 >> 16) & 255] << 16) | (sb[(w2 >> 8) & 255] << 8) | sb[w3 & 255]
+    n1 = (sb[w1 >> 24] << 24) | (sb[(w2 >> 16) & 255] << 16) | (sb[(w3 >> 8) & 255] << 8) | sb[w0 & 255]
+    n2 = (sb[w2 >> 24] << 24) | (sb[(w3 >> 16) & 255] << 16) | (sb[(w0 >> 8) & 255] << 8) | sb[w1 & 255]
+    n3 = (sb[w3 >> 24] << 24) | (sb[(w0 >> 16) & 255] << 16) | (sb[(w1 >> 8) & 255] << 8) | sb[w2 & 255]
+    return n0 ^ rk[k], n1 ^ rk[k + 1], n2 ^ rk[k + 2], n3 ^ rk[k + 3]
+
+
 def _aes_encrypt_block(words, nr: int, block: bytes) -> bytes:
-    # FIPS-197 state mapping: s[4*c + r] == state[r][c] (column-major)
-    s = list(block)
-
-    def add_round_key(s, rnd):
-        for c in range(4):
-            w = words[4 * rnd + c]
-            for r in range(4):
-                s[4 * c + r] ^= w[r]
-
-    add_round_key(s, 0)
-    for rnd in range(1, nr + 1):
-        s = [_SBOX[b] for b in s]
-        # ShiftRows: row r rotates left by r (state stored column-major)
-        t = s[:]
-        for r in range(1, 4):
-            for c in range(4):
-                t[4 * c + r] = s[4 * ((c + r) % 4) + r]
-        s = t
-        if rnd != nr:
-            m2, m3 = _MUL[2], _MUL[3]
-            for c in range(4):
-                a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
-                s[4 * c + 0] = m2[a0] ^ m3[a1] ^ a2 ^ a3
-                s[4 * c + 1] = a0 ^ m2[a1] ^ m3[a2] ^ a3
-                s[4 * c + 2] = a0 ^ a1 ^ m2[a2] ^ m3[a3]
-                s[4 * c + 3] = m3[a0] ^ a1 ^ a2 ^ m2[a3]
-        add_round_key(s, rnd)
-    return bytes(s)
+    rk = _packed_round_keys(words)
+    w = struct.unpack(">4I", block)
+    return struct.pack(">4I", *_encrypt_words(rk, nr, *w))
 
 
 def _aes_decrypt_block(words, nr: int, block: bytes) -> bytes:
@@ -207,19 +236,83 @@ def aes_decrypt_block(key: bytes, block: bytes) -> bytes:
     return _aes_decrypt_block(_expand_key(key), {16: 10, 24: 12, 32: 14}[len(key)], block)
 
 
+def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC over block-aligned data, packed-int pipeline (the chaining is
+    inherently sequential — T-tables make each block cheap)."""
+    nr = {16: 10, 24: 12, 32: 14}[len(key)]
+    rk = _packed_round_keys(_expand_key(key))
+    p = struct.unpack(">%dI" % (len(data) // 4), data)
+    v0, v1, v2, v3 = struct.unpack(">4I", iv)
+    out = []
+    for i in range(0, len(p), 4):
+        v0, v1, v2, v3 = _encrypt_words(
+            rk, nr, p[i] ^ v0, p[i + 1] ^ v1, p[i + 2] ^ v2, p[i + 3] ^ v3
+        )
+        out.extend((v0, v1, v2, v3))
+    return struct.pack(">%dI" % len(out), *out)
+
+
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """PKCS#7-padded CBC; returns iv + ciphertext (the PDF stream layout)."""
-    words = _expand_key(key)
-    nr = {16: 10, 24: 12, 32: 14}[len(key)]
     pad = 16 - (len(data) % 16)
-    data = data + bytes([pad]) * pad
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _aes_encrypt_block(words, nr, blk)
-        out += prev
-    return bytes(out)
+    return iv + _cbc_encrypt_raw(key, iv, data + bytes([pad]) * pad)
+
+
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC over block-aligned data (no padding, no IV prefix) — the
+    shape the V=5 UE/OE values and the R6 hardening loop use."""
+    return _cbc_encrypt_raw(key, iv, data)
+
+
+# numpy form of the inverse cipher: CBC DECRYPTION is parallel across
+# blocks (P_i = D(C_i) ^ C_{i-1}), so whole streams decrypt as one
+# vectorized pass — this is the extraction-side hot path.
+_INV_SBOX_NP = _np.array(_INV_SBOX, dtype=_np.uint8)
+_M9_NP = _np.array(_MUL[9], dtype=_np.uint8)
+_M11_NP = _np.array(_MUL[11], dtype=_np.uint8)
+_M13_NP = _np.array(_MUL[13], dtype=_np.uint8)
+_M14_NP = _np.array(_MUL[14], dtype=_np.uint8)
+# output position 4c+r reads input 4*((c-r)%4)+r (InvShiftRows)
+_INV_SHIFT_IDX = _np.array(
+    [4 * ((c - r) % 4) + r for c in range(4) for r in range(4)]
+)
+
+
+def _aes_decrypt_blocks_np(key: bytes, blocks: "_np.ndarray") -> "_np.ndarray":
+    """Inverse cipher over an (N, 16) uint8 matrix of blocks."""
+    nr = {16: 10, 24: 12, 32: 14}[len(key)]
+    words = _expand_key(key)
+    rkb = [
+        _np.array(
+            [words[4 * rnd + c][r] for c in range(4) for r in range(4)],
+            dtype=_np.uint8,
+        )
+        for rnd in range(nr + 1)
+    ]
+    s = blocks ^ rkb[nr]
+    for rnd in range(nr - 1, -1, -1):
+        s = _INV_SBOX_NP[s[:, _INV_SHIFT_IDX]]
+        s ^= rkb[rnd]
+        if rnd:
+            a = s.reshape(-1, 4, 4)
+            a0, a1, a2, a3 = a[:, :, 0], a[:, :, 1], a[:, :, 2], a[:, :, 3]
+            s = _np.stack(
+                [
+                    _M14_NP[a0] ^ _M11_NP[a1] ^ _M13_NP[a2] ^ _M9_NP[a3],
+                    _M9_NP[a0] ^ _M14_NP[a1] ^ _M11_NP[a2] ^ _M13_NP[a3],
+                    _M13_NP[a0] ^ _M9_NP[a1] ^ _M14_NP[a2] ^ _M11_NP[a3],
+                    _M11_NP[a0] ^ _M13_NP[a1] ^ _M9_NP[a2] ^ _M14_NP[a3],
+                ],
+                axis=2,
+            ).reshape(-1, 16)
+    return s
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    c = _np.frombuffer(data, dtype=_np.uint8).reshape(-1, 16)
+    p = _aes_decrypt_blocks_np(key, c)
+    prev = _np.vstack([_np.frombuffer(iv, dtype=_np.uint8), c[:-1]])
+    return (p ^ prev).tobytes()
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
@@ -228,19 +321,75 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
     never raises."""
     if len(data) < 32 or len(data) % 16:
         return None
-    words = _expand_key(key)
-    nr = {16: 10, 24: 12, 32: 14}[len(key)]
-    prev = data[:16]
-    out = bytearray()
-    for i in range(16, len(data), 16):
-        blk = data[i : i + 16]
-        dec = _aes_decrypt_block(words, nr, blk)
-        out += bytes(a ^ b for a, b in zip(dec, prev))
-        prev = blk
+    out = aes_cbc_decrypt_nopad(key, data[:16], data[16:])
     pad = out[-1] if out else 0
     if not 1 <= pad <= 16 or len(out) < pad:
         return None
-    return bytes(out[:-pad])
+    return out[:-pad]
+
+
+# --- V=5 / R6 (AES-256, ISO 32000-2 §7.6.4.3.4) ---------------------------
+#
+# INTEGRITY NOTE: unlike the arbitrary QM-coder state table (kept out of
+# the JPEG kernel for exactly this reason), the R6 password hardening is
+# an ALGORITHM reconstructed here from the spec: SHA-256 over
+# password+salt+udata, then ≥64 rounds of {K1 = (pwd+K+udata)×64;
+# E = AES-128-CBC(K[:16], iv=K[16:32], K1); K = SHA-{256,384,512}[sum
+# (E[:16]) mod 3](E)} until round ≥ 64 and E[-1] ≤ round−32. It is
+# validated self-consistently (our writer ↔ our reader, plus the /Perms
+# "adb" structural tag) — real-file conformance cannot be cross-checked
+# in this sandbox, so a misremembered detail here would reject real R6
+# files (never mis-decrypt: the U-hash check fails closed).
+
+
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B — the revision-6 password hash (R5: plain SHA-256)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _v5_file_key(enc: dict) -> bytes | None:
+    """Empty-user-password open for V=5 (R5/R6). Returns the 32-byte file
+    key or None (password required / malformed)."""
+    u = enc.get("/U")
+    ue = enc.get("/UE")
+    r = enc.get("/R", 6)
+    if not isinstance(u, bytes) or len(u) < 48:
+        return None
+    if not isinstance(ue, bytes) or len(ue) != 32:
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 5:  # deprecated Adobe extension: no hardening loop
+        valid = hashlib.sha256(b"" + vsalt).digest()
+        ik = hashlib.sha256(b"" + ksalt).digest()
+    else:
+        valid = hash_r6(b"", vsalt)
+        ik = hash_r6(b"", ksalt)
+    if valid != u[:32]:
+        return None
+    return aes_cbc_decrypt_nopad(ik, b"\x00" * 16, ue)
+
+
+def v5_perms_blob(file_key: bytes, p: int, encrypt_metadata: bool = True) -> bytes:
+    """The /Perms value: AES-256-ECB of P(4,LE) + FFFFFFFF + T/F + 'adb'
+    + 4 filler bytes (writer side; the reader checks the 'adb' tag)."""
+    blk = (
+        struct.pack("<i", p)
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + b"utes"
+    )
+    return aes_encrypt_block(file_key, blk)
 
 
 # --- standard security handler (Algorithms 1-6) ---------------------------
@@ -318,24 +467,39 @@ class UnsupportedEncryption:
 
 
 class StdDecryptor:
-    """Decrypts strings/streams of an opened document (empty user pwd)."""
+    """Decrypts strings/streams of an opened document (empty user pwd).
 
-    __slots__ = ("file_key", "aes", "gens")
+    ``v5=True`` (AES-256): the file key is used directly for every object
+    (ISO 32000-2 drops the per-object MD5 derivation of Algorithm 1)."""
 
-    def __init__(self, file_key: bytes, aes: bool, gens: dict[int, int] | None = None):
+    __slots__ = ("file_key", "aes", "gens", "v5")
+
+    def __init__(
+        self,
+        file_key: bytes,
+        aes: bool,
+        gens: dict[int, int] | None = None,
+        v5: bool = False,
+    ):
         self.file_key = file_key
         self.aes = aes
         self.gens = gens or {}
+        self.v5 = v5
+
+    def _key(self, num: int) -> bytes:
+        if self.v5:
+            return self.file_key
+        return object_key(self.file_key, num, self.gens.get(num, 0), self.aes)
 
     def decrypt(self, num: int, data: bytes) -> bytes | None:
-        key = object_key(self.file_key, num, self.gens.get(num, 0), self.aes)
+        key = self._key(num)
         if self.aes:
             return aes_cbc_decrypt(key, data)
         return rc4(key, data)
 
     def encrypt(self, num: int, data: bytes, iv: bytes = b"") -> bytes:
         """Writer-side inverse (generator fixtures)."""
-        key = object_key(self.file_key, num, self.gens.get(num, 0), self.aes)
+        key = self._key(num)
         if self.aes:
             return aes_cbc_encrypt(key, (iv or b"\x00" * 16)[:16], data)
         return rc4(key, data)
@@ -361,6 +525,25 @@ def make_handler(
             return UnsupportedEncryption("missing /O or /U")
         if not isinstance(p, int):
             return UnsupportedEncryption("bad /P")
+        if v == 5 and r in (5, 6):
+            cf = enc.get("/CF", {})
+            stmf = enc.get("/StmF", "/Identity")
+            cfd = cf.get(stmf) if isinstance(cf, dict) else None
+            cfm = cfd.get("/CFM") if isinstance(cfd, dict) else None
+            if cfm != "/AESV3":
+                return UnsupportedEncryption(f"V=5 with CFM {cfm}")
+            file_key = _v5_file_key(enc)
+            if file_key is None:
+                return UnsupportedEncryption(
+                    "password required (empty user pwd rejected)"
+                )
+            # structural sanity on the recovered key: /Perms decrypts to
+            # the spec's 'adb' tag (fails closed on a bad key)
+            perms = enc.get("/Perms")
+            if isinstance(perms, bytes) and len(perms) == 16:
+                if aes_decrypt_block(file_key, perms)[9:12] != b"adb":
+                    return UnsupportedEncryption("bad /Perms check")
+            return StdDecryptor(file_key, aes=True, gens=gens, v5=True)
         aes = False
         if v in (1, 2) and r in (2, 3):
             keylen = (enc.get("/Length", 40) // 8) if v == 2 else 5

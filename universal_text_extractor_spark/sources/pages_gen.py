@@ -209,22 +209,47 @@ def _pdf_doc_pages(
             compute_u_entry,
         )
 
-        r, v, keylen = {
-            "rc4-40": (2, 1, 5),
-            "rc4-128": (3, 2, 16),
-            "aesv2": (4, 4, 16),
-        }[encrypt]
         p_flags = -44
         file_id = _hl.md5(
             b"utes-pdf-id" + repr((npages, flate, encrypt, scan_scale)).encode()
         ).digest()
-        o_entry = compute_o_entry(b"owner-secret", user_password, r, keylen)
-        file_key = compute_file_key(
-            user_password, o_entry, p_flags, file_id, r, keylen
-        )
-        u_entry = compute_u_entry(file_key, file_id, r)
-        handler = StdDecryptor(file_key, aes=(encrypt == "aesv2"))
-        enc_meta = (o_entry, u_entry, file_id, p_flags, r, v)
+        if encrypt == "aes256":
+            from ..kernels.pdf_crypt import (
+                aes_cbc_encrypt_nopad,
+                hash_r6,
+                v5_perms_blob,
+            )
+
+            r, v = 6, 5
+            file_key = _hl.sha256(b"utes-file-key" + file_id).digest()
+            u_vs = _hl.md5(b"utes-uvs" + file_id).digest()[:8]
+            u_ks = _hl.md5(b"utes-uks" + file_id).digest()[:8]
+            o_vs = _hl.md5(b"utes-ovs" + file_id).digest()[:8]
+            o_ks = _hl.md5(b"utes-oks" + file_id).digest()[:8]
+            u_entry = hash_r6(user_password, u_vs) + u_vs + u_ks
+            ue = aes_cbc_encrypt_nopad(
+                hash_r6(user_password, u_ks), b"\x00" * 16, file_key
+            )
+            o_entry = hash_r6(b"owner-secret", o_vs, u_entry) + o_vs + o_ks
+            oe = aes_cbc_encrypt_nopad(
+                hash_r6(b"owner-secret", o_ks, u_entry), b"\x00" * 16, file_key
+            )
+            perms = v5_perms_blob(file_key, p_flags)
+            handler = StdDecryptor(file_key, aes=True, v5=True)
+            enc_meta = (o_entry, u_entry, file_id, p_flags, r, v, ue, oe, perms)
+        else:
+            r, v, keylen = {
+                "rc4-40": (2, 1, 5),
+                "rc4-128": (3, 2, 16),
+                "aesv2": (4, 4, 16),
+            }[encrypt]
+            o_entry = compute_o_entry(b"owner-secret", user_password, r, keylen)
+            file_key = compute_file_key(
+                user_password, o_entry, p_flags, file_id, r, keylen
+            )
+            u_entry = compute_u_entry(file_key, file_id, r)
+            handler = StdDecryptor(file_key, aes=(encrypt == "aesv2"))
+            enc_meta = (o_entry, u_entry, file_id, p_flags, r, v, None, None, None)
 
     def enc_stream(data: bytes) -> bytes:
         """Encrypt a stream body for the NEXT object number (what the
@@ -344,7 +369,7 @@ def _pdf_doc_pages(
     catalog_num = add(b"<< /Type /Catalog /Pages " + str(pages_num).encode() + b" 0 R >>")
     trailer_extra = b""
     if enc_meta is not None:
-        o_entry, u_entry, file_id, p_flags, r, v = enc_meta
+        o_entry, u_entry, file_id, p_flags, r, v, ue, oe, perms = enc_meta
         enc_body = (
             b"<< /Filter /Standard /V " + str(v).encode()
             + b" /R " + str(r).encode()
@@ -357,6 +382,14 @@ def _pdf_doc_pages(
             enc_body += (
                 b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
                 b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+        elif encrypt == "aes256":
+            enc_body += (
+                b" /UE <" + ue.hex().encode() + b">"
+                + b" /OE <" + oe.hex().encode() + b">"
+                + b" /Perms <" + perms.hex().encode() + b">"
+                + b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
             )
         enc_num = add(enc_body + b" >>")
         idhex = file_id.hex().encode()
