@@ -311,3 +311,54 @@ def test_fillorder_and_orientation_rejected():
         ifd = struct.pack("<H", n + 1) + b"".join(entries) + struct.pack("<I", 0)
         patched = base[:ifd_off] + ifd
         assert decode_tiff(patched) is None, tag
+
+
+def test_palette_tiff_round_trip():
+    """Photometric 3 (palette-color): indices through a 16-bit ColorMap.
+    Lossless → byte-exact across codecs, byte orders, strip layouts."""
+    import random
+
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.tiff_kernel import decode_tiff
+    from universal_text_extractor_spark.sources.pages_gen import make_tiff
+
+    rng = random.Random(3)
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (128, 128, 0), (10, 200, 250)]
+    pix = [[rng.choice(colors) for _ in range(37)] for _ in range(23)]
+    want = np.array(pix, dtype=np.uint8)
+    for comp in ("none", "packbits", "lzw"):
+        for bo in ("<", ">"):
+            for rps in (0, 7):
+                t = make_tiff(
+                    pix, color="palette", compression=comp,
+                    byte_order=bo, rows_per_strip=rps,
+                )
+                arr = decode_tiff(t)
+                assert arr is not None and np.array_equal(arr, want), (comp, bo, rps)
+    # corruption containment on the palette path
+    good = bytearray(make_tiff(pix, color="palette", compression="lzw"))
+    for pos in range(8, len(good), max(1, len(good) // 30)):
+        mut = bytearray(good)
+        mut[pos] ^= 0xA5
+        r = decode_tiff(bytes(mut))
+        assert r is None or isinstance(r, np.ndarray)
+
+
+def test_palette_guards():
+    """Writer refuses >256 colors; reader refuses palette without a
+    ColorMap and palette+predictor combinations."""
+    import pytest as _pytest
+
+    from universal_text_extractor_spark.kernels.tiff_kernel import decode_tiff
+    from universal_text_extractor_spark.sources.pages_gen import make_tiff
+
+    big = [[(i % 256, j, 0) for i in range(300)] for j in range(2)]
+    with _pytest.raises(ValueError):
+        make_tiff(big, color="palette")
+    # strip the ColorMap tag (320) → honest None, not a crash
+    t = bytearray(make_tiff([[(1, 2, 3)] * 4] * 4, color="palette"))
+    idx = t.find((320).to_bytes(2, "little"))
+    assert idx > 0
+    t[idx : idx + 2] = (999).to_bytes(2, "little")
+    assert decode_tiff(bytes(t)) is None

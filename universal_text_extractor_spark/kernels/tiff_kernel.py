@@ -205,11 +205,13 @@ def _decode(b: bytes) -> np.ndarray | None:
     fill_order = tags.get(266, [1])[0]
     orientation = tags.get(274, [1])[0]
     bps = tags.get(258, [8] * spp)
+    cmap = tags.get(320)
     if (
         spp not in (1, 3)
         or any(v != 8 for v in bps)
-        or photo not in (0, 1, 2)
+        or photo not in (0, 1, 2, 3)
         or (photo == 2) != (spp == 3)
+        or (photo == 3 and (spp != 1 or not cmap or len(cmap) < 768))
         or comp not in (1, 5, 32773)
         or planar != 1
         or pred not in (1, 2)
@@ -217,8 +219,8 @@ def _decode(b: bytes) -> np.ndarray | None:
         or orientation != 1  # rotated/flipped layouts: not silently ignored
     ):
         return None  # outside the supported subset — honest None
-    if pred == 2 and comp != 5:
-        return None  # predictor is only defined for LZW in baseline TIFF
+    if pred == 2 and (comp != 5 or photo == 3):
+        return None  # predictor: LZW-only, and meaningless on indices
     offsets, counts = tags[273], tags[279]
     if len(offsets) != len(counts):
         raise TiffError("strip offset/count mismatch")
@@ -249,6 +251,14 @@ def _decode(b: bytes) -> np.ndarray | None:
         arr = (arr.astype(np.int64).cumsum(axis=1) % 256).astype(np.uint8)
     if photo == 0:  # WhiteIsZero
         arr = 255 - arr
+    if photo == 3:
+        # palette-color: indices through the 16-bit ColorMap (3×256
+        # SHORTs, R then G then B planes), high byte = 8-bit channel
+        pal = np.array(cmap[:768], dtype=np.uint16).reshape(3, 256) >> 8
+        idx = arr[:, :, 0]
+        return np.stack(
+            [pal[0][idx], pal[1][idx], pal[2][idx]], axis=2
+        ).astype(np.uint8)
     if spp == 1:
         return np.repeat(arr, 3, axis=2)
     return arr.copy()

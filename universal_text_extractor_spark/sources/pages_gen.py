@@ -1738,7 +1738,34 @@ def make_tiff(
     w = len(pixels[0]) if h else 0
     if not h or not w:
         raise ValueError("empty image")
-    if color == "gray":
+    colormap: list[int] | None = None
+    if color == "palette":
+        # palette-color (Photometric 3): unique RGB tuples → index plane
+        # + a 3×256 16-bit ColorMap (channel c expands as c*257, the
+        # canonical 8→16-bit widening)
+        spp = 1
+        uniq: dict[tuple[int, int, int], int] = {}
+        for row in pixels:
+            for px in row:
+                key = (int(px[0]), int(px[1]), int(px[2]))
+                if key not in uniq:
+                    uniq[key] = len(uniq)
+        if len(uniq) > 256:
+            raise ValueError("palette image with >256 unique colors")
+        rows = [
+            bytes(uniq[(int(px[0]), int(px[1]), int(px[2]))] for px in row)
+            for row in pixels
+        ]
+        pal = [(0, 0, 0)] * 256
+        for rgb, i in uniq.items():
+            pal[i] = rgb
+        colormap = (
+            [c[0] * 257 for c in pal]
+            + [c[1] * 257 for c in pal]
+            + [c[2] * 257 for c in pal]
+        )
+        photo = 3
+    elif color == "gray":
         spp = 1
         rows = [bytes((int(v) & 0xFF) for v in row) for row in pixels]
         if white_is_zero:
@@ -1797,6 +1824,8 @@ def make_tiff(
     ]
     if predictor:
         entries.append((317, 3, [2]))
+    if colormap is not None:
+        entries.append((320, 3, colormap))
     entries.sort()
     tsize = {3: 2, 4: 4}
     tfmt = {3: "H", 4: "I"}
