@@ -362,3 +362,74 @@ def test_palette_guards():
     assert idx > 0
     t[idx : idx + 2] = (999).to_bytes(2, "little")
     assert decode_tiff(bytes(t)) is None
+
+
+def test_bilevel_tiff_round_trip():
+    """1-bit bilevel (the fax/scanned-document shape): MSB-first packed
+    rows, byte-padded; both photometrics; byte-exact across codecs."""
+    import random
+
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.tiff_kernel import decode_tiff
+    from universal_text_extractor_spark.sources.pages_gen import make_tiff
+
+    rng = random.Random(9)
+    bl = [[255 if rng.random() < 0.5 else 0 for _ in range(37)] for _ in range(23)]
+    want = np.repeat(np.array(bl, np.uint8)[:, :, None], 3, axis=2)
+    for comp in ("none", "packbits", "lzw"):
+        for wiz in (False, True):
+            for rps in (0, 5):
+                t = make_tiff(
+                    bl, color="bilevel", compression=comp,
+                    white_is_zero=wiz, rows_per_strip=rps,
+                )
+                arr = decode_tiff(t)
+                assert arr is not None and np.array_equal(arr, want), (comp, wiz, rps)
+    # corruption containment
+    good = make_tiff(bl, color="bilevel", compression="packbits")
+    for pos in range(8, len(good), max(1, len(good) // 25)):
+        mut = bytearray(good)
+        mut[pos] ^= 0xA5
+        r = decode_tiff(bytes(mut))
+        assert r is None or isinstance(r, np.ndarray)
+
+
+def test_tiled_tiff_round_trip():
+    """Tiled layout (TileWidth/Length/Offsets/ByteCounts): edge tiles
+    written full-size, predictor resets per tile; byte-exact."""
+    import random
+
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.tiff_kernel import decode_tiff
+    from universal_text_extractor_spark.sources.pages_gen import make_tiff
+
+    rng = random.Random(9)
+    pix = [
+        [(rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+         for _ in range(21)]
+        for _ in range(17)
+    ]
+    want = np.array(pix, np.uint8)
+    for comp in ("none", "packbits", "lzw"):
+        for tsize in ((8, 8), (16, 4), (32, 32)):
+            for pred in (False, True):
+                if pred and comp != "lzw":
+                    continue
+                t = make_tiff(pix, compression=comp, tiles=tsize, predictor=pred)
+                arr = decode_tiff(t)
+                assert arr is not None and np.array_equal(arr, want), (comp, tsize, pred)
+    # gray + palette through tiles
+    g = [[rng.randint(0, 255) for _ in range(21)] for _ in range(17)]
+    t = make_tiff(g, color="gray", tiles=(8, 8), compression="lzw")
+    assert np.array_equal(
+        decode_tiff(t), np.repeat(np.array(g, np.uint8)[:, :, None], 3, axis=2)
+    )
+    # corruption containment on the tiled path
+    good = make_tiff(pix, compression="lzw", tiles=(8, 8))
+    for pos in range(8, len(good), max(1, len(good) // 25)):
+        mut = bytearray(good)
+        mut[pos] ^= 0xA5
+        r = decode_tiff(bytes(mut))
+        assert r is None or isinstance(r, np.ndarray)

@@ -1,13 +1,15 @@
 """TIFF decoder — hand-rolled from the public TIFF 6.0 spec (no PIL).
 
 Supported subset (the baseline-TIFF scanned-document shapes): 8-bit
-grayscale (PhotometricInterpretation 0/1) and RGB (2), chunky planar
-config, strip-organized, Compression 1 (none), 5 (LZW — the TIFF
-"early change" variant: code width grows one entry earlier on the
-decode side than the encode side, mirroring the one-entry table lag)
-and 32773 (PackBits), Predictor 1/2 (horizontal differencing), both
-byte orders (II/MM). Everything else — tiles, palettes, planar=2,
-non-8-bit depths, JPEG-in-TIFF, CCITT fax codings, reversed FillOrder,
+grayscale (PhotometricInterpretation 0/1), RGB (2), palette-color (3,
+via the 16-bit ColorMap) and 1-bit bilevel (the fax/scan shape,
+MSB-first packed rows), chunky planar config, strip- OR tile-organized
+(edge tiles full-size, predictor resetting per tile), Compression 1
+(none), 5 (LZW — the TIFF "early change" variant: code width grows one
+entry earlier on the decode side than the encode side, mirroring the
+one-entry table lag) and 32773 (PackBits), Predictor 1/2 (horizontal
+differencing), both byte orders (II/MM). Everything else — planar=2,
+other bit depths, JPEG-in-TIFF, CCITT fax codings, reversed FillOrder,
 non-default Orientation — returns None: containment, not a crash (D2).
 Decompression is budget-capped per strip and header dims are bounded by
 ``MAX_PIXELS``, so crafted payloads can't balloon memory either.
@@ -185,12 +187,31 @@ def decode_tiff(payload: bytes) -> np.ndarray | None:
         return None
 
 
+def _decompress(chunk: bytes, comp: int, need: int) -> bytes:
+    if comp == 5:
+        chunk = _lzw(chunk, need + 4096)
+    elif comp == 32773:
+        chunk = _packbits(chunk, need + 4096)
+    if len(chunk) < need:
+        raise TiffError("short segment")
+    return chunk[:need]
+
+
+def _undo_predictor(arr: np.ndarray) -> np.ndarray:
+    # horizontal differencing: undo with a per-row channel-wise
+    # cumulative sum mod 256 (vectorized)
+    return (arr.astype(np.int64).cumsum(axis=1) % 256).astype(np.uint8)
+
+
 def _decode(b: bytes) -> np.ndarray | None:
     order = _byte_order(b)
     if order is None or len(b) < 8:
         return None
     tags = _read_ifd(b, order)
-    if 256 not in tags or 257 not in tags or 273 not in tags or 279 not in tags:
+    tiled = all(t in tags for t in (322, 323, 324, 325))
+    if 256 not in tags or 257 not in tags:
+        return None
+    if not tiled and (273 not in tags or 279 not in tags):
         return None
     w, h = tags[256][0], tags[257][0]
     if not w or not h:
@@ -206,9 +227,14 @@ def _decode(b: bytes) -> np.ndarray | None:
     orientation = tags.get(274, [1])[0]
     bps = tags.get(258, [8] * spp)
     cmap = tags.get(320)
+    depth = bps[0] if bps else 8
     if (
         spp not in (1, 3)
-        or any(v != 8 for v in bps)
+        or any(v != depth for v in bps)
+        or depth not in (1, 8)
+        # 1-bit: bilevel only (fax/scan shape) — strip-organized,
+        # no predictor, no palette
+        or (depth == 1 and (spp != 1 or photo not in (0, 1) or pred != 1 or tiled))
         or photo not in (0, 1, 2, 3)
         or (photo == 2) != (spp == 3)
         or (photo == 3 and (spp != 1 or not cmap or len(cmap) < 768))
@@ -221,34 +247,54 @@ def _decode(b: bytes) -> np.ndarray | None:
         return None  # outside the supported subset — honest None
     if pred == 2 and (comp != 5 or photo == 3):
         return None  # predictor: LZW-only, and meaningless on indices
-    offsets, counts = tags[273], tags[279]
-    if len(offsets) != len(counts):
-        raise TiffError("strip offset/count mismatch")
-    rows_per_strip = tags.get(278, [h])[0] or h
-    stride = w * spp
-    raw = bytearray()
-    rows_done = 0
-    for so, sc in zip(offsets, counts):
-        if so + sc > len(b):
-            raise TiffError("strip out of range")
-        chunk = b[so : so + sc]
-        rows_here = min(rows_per_strip, h - rows_done)
-        need = rows_here * stride
-        if comp == 5:
-            chunk = _lzw(chunk, need + 4096)
-        elif comp == 32773:
-            chunk = _packbits(chunk, need + 4096)
-        if len(chunk) < need:
-            raise TiffError("short strip")
-        raw += chunk[:need]
-        rows_done += rows_here
-    if rows_done < h:
-        raise TiffError("missing strips")
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
-    if pred == 2:
-        # horizontal differencing: undo with a per-row channel-wise
-        # cumulative sum mod 256 (vectorized)
-        arr = (arr.astype(np.int64).cumsum(axis=1) % 256).astype(np.uint8)
+
+    if tiled:
+        tw, tl = tags[322][0], tags[323][0]
+        offsets, counts = tags[324], tags[325]
+        if not tw or not tl or len(offsets) != len(counts):
+            raise TiffError("bad tile layout")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if across * down != len(offsets) or down * tl * across * tw > 4 * MAX_PIXELS:
+            raise TiffError("tile count mismatch")
+        canvas = np.zeros((down * tl, across * tw, spp), dtype=np.uint8)
+        need = tl * tw * spp  # edge tiles are written FULL-SIZE (spec)
+        for t, (so, sc) in enumerate(zip(offsets, counts)):
+            if so + sc > len(b):
+                raise TiffError("tile out of range")
+            chunk = _decompress(b[so : so + sc], comp, need)
+            tile = np.frombuffer(chunk, dtype=np.uint8).reshape(tl, tw, spp)
+            if pred == 2:
+                tile = _undo_predictor(tile)  # predictor resets per tile
+            ty, tx = divmod(t, across)
+            canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
+        arr = canvas[:h, :w]
+    else:
+        offsets, counts = tags[273], tags[279]
+        if len(offsets) != len(counts):
+            raise TiffError("strip offset/count mismatch")
+        rows_per_strip = tags.get(278, [h])[0] or h
+        stride = (w * spp * depth + 7) // 8  # 1-bit rows pad to bytes
+        raw = bytearray()
+        rows_done = 0
+        for so, sc in zip(offsets, counts):
+            if so + sc > len(b):
+                raise TiffError("strip out of range")
+            rows_here = min(rows_per_strip, h - rows_done)
+            raw += _decompress(b[so : so + sc], comp, rows_here * stride)
+            rows_done += rows_here
+        if rows_done < h:
+            raise TiffError("missing strips")
+        if depth == 1:
+            bits = np.unpackbits(
+                np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, stride),
+                axis=1,
+            )[:, :w]
+            arr = (bits * 255).astype(np.uint8)[:, :, None]
+        else:
+            arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+        if pred == 2:
+            arr = _undo_predictor(arr)
     if photo == 0:  # WhiteIsZero
         arr = 255 - arr
     if photo == 3:

@@ -1721,14 +1721,19 @@ def make_tiff(
     byte_order: str = "<",
     rows_per_strip: int = 0,
     white_is_zero: bool = False,
+    tiles: tuple[int, int] | None = None,
 ) -> bytes:
     """Baseline TIFF 6.0 writer (spec-based, INDEPENDENT of
     ``kernels/tiff_kernel.py`` — own IFD layout, own PackBits/LZW
     encoders; writer ≠ parser). ``pixels`` follows the ``make_png``
     convention. ``compression``: none / packbits / lzw; ``predictor``
     (horizontal differencing, LZW only); ``byte_order``: '<' (II) or
-    '>' (MM); ``rows_per_strip`` 0 = single strip. TIFF is lossless —
-    round-trips are byte-exact (tests/test_tiff.py)."""
+    '>' (MM); ``rows_per_strip`` 0 = single strip; ``tiles=(tw, tl)``
+    emits the tiled layout (TileWidth/Length/Offsets/ByteCounts, edge
+    tiles written full-size per spec; 8-bit colors only);
+    ``color='bilevel'`` packs 1-bit rows MSB-first (Photometric 0/1,
+    the fax/scan shape). TIFF is lossless — round-trips are byte-exact
+    (tests/test_tiff.py)."""
     import struct as _st
 
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
@@ -1765,6 +1770,21 @@ def make_tiff(
             + [c[2] * 257 for c in pal]
         )
         photo = 3
+    elif color == "bilevel":
+        if tiles or predictor:
+            raise ValueError("bilevel is strip-organized, no predictor")
+        spp = 1
+        rows = []
+        for row in pixels:
+            bits = [1 if int(v) >= 128 else 0 for v in row]
+            if white_is_zero:
+                bits = [1 - b for b in bits]
+            packed = bytearray((len(bits) + 7) // 8)
+            for i, bit in enumerate(bits):
+                if bit:
+                    packed[i >> 3] |= 0x80 >> (i & 7)
+            rows.append(bytes(packed))
+        photo = 0 if white_is_zero else 1
     elif color == "gray":
         spp = 1
         rows = [bytes((int(v) & 0xFF) for v in row) for row in pixels]
@@ -1778,25 +1798,51 @@ def make_tiff(
             for row in pixels
         ]
         photo = 2
-    if predictor:
+    def _diff(byte_rows: list[bytes]) -> list[bytes]:
         # horizontal differencing per row, channel-wise, mod 256
-        rows = [
+        return [
             bytes(
                 (row[i] - (row[i - spp] if i >= spp else 0)) & 0xFF
                 for i in range(len(row))
             )
-            for row in rows
+            for row in byte_rows
         ]
-    rps = rows_per_strip or h
-    strips = []
-    for s0 in range(0, h, rps):
-        raw = b"".join(rows[s0 : s0 + rps])
+
+    def _compress_rows(byte_rows: list[bytes]) -> bytes:
+        raw = b"".join(byte_rows)
         if comp_id == 5:
-            strips.append(_tiff_lzw_encode(raw))
-        elif comp_id == 32773:
-            strips.append(b"".join(_tiff_packbits_encode(r) for r in rows[s0 : s0 + rps]))
-        else:
-            strips.append(raw)
+            return _tiff_lzw_encode(raw)
+        if comp_id == 32773:
+            return b"".join(_tiff_packbits_encode(r) for r in byte_rows)
+        return raw
+
+    if tiles is not None:
+        if color == "bilevel":
+            raise ValueError("tiled bilevel not emitted")
+        tw, tl = tiles
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        full = across * tw * spp
+        padded = [r + b"\x00" * (full - len(r)) for r in rows]
+        padded += [b"\x00" * full] * (down * tl - h)
+        strips = []
+        for ty in range(down):
+            for tx in range(across):
+                trows = [
+                    padded[ty * tl + j][tx * tw * spp : (tx + 1) * tw * spp]
+                    for j in range(tl)
+                ]
+                if predictor:
+                    trows = _diff(trows)  # predictor resets per tile
+                strips.append(_compress_rows(trows))
+        rps = 0
+    else:
+        if predictor:
+            rows = _diff(rows)
+        rps = rows_per_strip or h
+        strips = [
+            _compress_rows(rows[s0 : s0 + rps]) for s0 in range(0, h, rps)
+        ]
 
     # layout: 8-byte header | strip data (word-aligned) | IFD | overflow
     strip_offsets = []
@@ -1814,14 +1860,24 @@ def make_tiff(
     entries: list[tuple[int, int, list[int]]] = [  # (tag, type, values)
         (256, 4, [w]),
         (257, 4, [h]),
-        (258, 3, [8] * spp),
+        (258, 3, [1 if color == "bilevel" else 8] * spp),
         (259, 3, [comp_id]),
         (262, 3, [photo]),
-        (273, 4, strip_offsets),
         (277, 3, [spp]),
-        (278, 4, [rps]),
-        (279, 4, [len(s) for s in strips]),
     ]
+    if tiles is not None:
+        entries += [
+            (322, 4, [tiles[0]]),
+            (323, 4, [tiles[1]]),
+            (324, 4, strip_offsets),
+            (325, 4, [len(s) for s in strips]),
+        ]
+    else:
+        entries += [
+            (273, 4, strip_offsets),
+            (278, 4, [rps]),
+            (279, 4, [len(s) for s in strips]),
+        ]
     if predictor:
         entries.append((317, 3, [2]))
     if colormap is not None:
