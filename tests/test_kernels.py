@@ -191,3 +191,65 @@ def test_pdf_legacy_stream_filters_parity():
             good[i] ^= 0xA5
         t = extract_pdf(bytes(good))[0]
         assert isinstance(t, str), sf
+
+
+def test_pdf_cid_font_tounicode_parity():
+    """Type0 /Identity-H text (2-byte codes + /ToUnicode CMap — the
+    subset-font shape every modern PDF producer emits) must extract
+    IDENTICALLY to the simple-font twin, including through the modern
+    encrypted ObjStm layout."""
+    import random
+
+    from universal_text_extractor_spark.kernels.pdf_kernel import extract_pdf
+    from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
+
+    for fl in (True, False):
+        ref = extract_pdf(_pdf_doc_pages(random.Random(11), 3, fl))[0]
+        cid = extract_pdf(_pdf_doc_pages(random.Random(11), 3, fl, cid_font=True))[0]
+        assert cid == ref, fl
+    ref = extract_pdf(_pdf_doc_pages(random.Random(4), 2, True))[0]
+    combo = extract_pdf(
+        _pdf_doc_pages(
+            random.Random(4), 2, True, cid_font=True, objstm=True, encrypt="aes256"
+        )
+    )[0]
+    assert combo == ref
+    # corruption containment on the CID layout
+    good = _pdf_doc_pages(random.Random(7), 2, True, cid_font=True)
+    for cut in (len(good) // 3, len(good) - 12):
+        assert isinstance(extract_pdf(good[:cut])[0], str)
+
+
+def test_pdf_cmap_bfrange_forms():
+    """Both bfrange destination forms (incrementing base and per-code
+    array), multi-char ligature targets, and malformed-CMap containment."""
+    from universal_text_extractor_spark.kernels.pdf_kernel import _parse_cmap
+
+    cmap = b"""/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0001> <0041>
+<0002> <00660066>
+endbfchar
+2 beginbfrange
+<0010> <0013> <0061>
+<0020> <0022> [<005A> <0059> <0058>]
+endbfrange
+endcmap"""
+    clen, mp = _parse_cmap(cmap)
+    assert clen == 2
+    assert mp[1] == "A"
+    assert mp[2] == "ff"  # ligature: multi-char UTF-16BE destination
+    assert [mp[0x10 + k] for k in range(4)] == ["a", "b", "c", "d"]
+    assert [mp[0x20 + k] for k in range(3)] == ["Z", "Y", "X"]
+    # malformed inputs: contained (None), never an exception
+    assert _parse_cmap(b"") is None
+    assert _parse_cmap(b"beginbfchar <zz> <qq> endbfchar") is None
+    assert _parse_cmap(b"1 beginbfrange <0001> <0000> <0041> endbfrange") is None
+    # reversed range is skipped; a valid block after it still parses
+    both = b"1 beginbfrange <0005> <0001> <0041> endbfrange 1 beginbfchar <0009> <0042> endbfchar"
+    clen2, mp2 = _parse_cmap(both)
+    assert mp2 == {9: "B"}

@@ -409,11 +409,24 @@ def _page_order(payload: bytes, objs) -> list[int]:
 _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 
 
-def _content_text(content: bytes) -> str:
+def _content_text(content: bytes, fonts=None) -> str:
     """Extract shown text from one content stream (stream order; newline on
-    Td/TD/T*/'/\"). String bytes decoded latin-1 (simple-font assumption)."""
+    Td/TD/T*/'/\"). String bytes decode latin-1 (simple-font byte
+    semantics, the golden-locked default) unless the Tf-selected font has
+    a /ToUnicode CMap in ``fonts`` — then codes map through it (Type0 /
+    Identity-H subset fonts, reference PyMuPDF's normal text path)."""
     out: list[str] = []
     stack: list[object] = []
+    cur_map: tuple[int, dict[int, str]] | None = None
+
+    def shown(sb: bytes) -> str:
+        if cur_map is None:
+            return sb.decode("latin-1")
+        clen, mp = cur_map
+        return "".join(
+            mp.get(int.from_bytes(sb[k : k + clen], "big"), "")
+            for k in range(0, len(sb) - clen + 1, clen)
+        )
     i, n = 0, len(content)
     while i < n:
         c = content[i]
@@ -458,26 +471,143 @@ def _content_text(content: bytes) -> str:
         i = m.end()
         if op == b"Tj":
             if stack and isinstance(stack[-1], bytes):
-                out.append(stack[-1].decode("latin-1"))
+                out.append(shown(stack[-1]))
         elif op == b"TJ":
             if stack and isinstance(stack[-1], list):
                 out.append(
                     "".join(
-                        e.decode("latin-1") for e in stack[-1] if isinstance(e, bytes)
+                        shown(e) for e in stack[-1] if isinstance(e, bytes)
                     )
                 )
         elif op == b"'":
             out.append("\n")
             if stack and isinstance(stack[-1], bytes):
-                out.append(stack[-1].decode("latin-1"))
+                out.append(shown(stack[-1]))
         elif op == b'"':
             out.append("\n")
             if stack and isinstance(stack[-1], bytes):
-                out.append(stack[-1].decode("latin-1"))
+                out.append(shown(stack[-1]))
+        elif op == b"Tf":
+            if fonts and len(stack) >= 2 and isinstance(stack[-2], str):
+                cur_map = fonts.get(stack[-2])
         elif op in (b"Td", b"TD", b"T*"):
             out.append("\n")
         stack.clear() if op not in (b"BT", b"ET") else None
     return "".join(out)
+
+
+_CMAP_HEX = re.compile(rb"<([0-9A-Fa-f\s]+)>")
+
+
+def _scan_cmap_items(body: bytes) -> list[bytes | list[bytes]]:
+    """Tokenize a bfchar/bfrange body: hex strings and [ ... ] arrays."""
+    items: list[bytes | list[bytes]] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == 0x3C:  # <hex>
+            j = body.find(b">", i)
+            if j < 0:
+                break
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", body[i + 1 : j])
+            if len(hx) % 2 == 0 and hx:
+                items.append(bytes.fromhex(hx.decode("ascii")))
+            i = j + 1
+        elif c == 0x5B:  # [ <hex> <hex> ... ]
+            j = body.find(b"]", i)
+            if j < 0:
+                break
+            arr = [
+                bytes.fromhex(re.sub(rb"[^0-9A-Fa-f]", b"", t).decode("ascii"))
+                for t in _CMAP_HEX.findall(body[i + 1 : j])
+            ]
+            items.append(arr)
+            i = j + 1
+        else:
+            i += 1
+    return items
+
+
+def _parse_cmap(data: bytes) -> tuple[int, dict[int, str]] | None:
+    """Parse a /ToUnicode CMap stream → (code byte-length, code → text).
+    Handles bfchar, both bfrange forms (incrementing destination and
+    per-code array), and the codespacerange code width. Destinations are
+    UTF-16BE (possibly multi-char, e.g. ligatures)."""
+    try:
+        clen = 0
+        m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+        if m:
+            toks = _CMAP_HEX.findall(m.group(1))
+            if toks:
+                clen = max(
+                    1, len(re.sub(rb"[^0-9A-Fa-f]", b"", toks[0])) // 2
+                )
+        mp: dict[int, str] = {}
+
+        def dst_text(d: bytes) -> str:
+            return d.decode("utf-16-be", "ignore")
+
+        for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+            items = _scan_cmap_items(m.group(1))
+            for j in range(0, len(items) - 1, 2):
+                src, dst = items[j], items[j + 1]
+                if not isinstance(src, bytes) or not isinstance(dst, bytes):
+                    continue
+                clen = clen or len(src)
+                mp[int.from_bytes(src, "big")] = dst_text(dst)
+        for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+            items = _scan_cmap_items(m.group(1))
+            for j in range(0, len(items) - 2, 3):
+                lo, hi, dst = items[j], items[j + 1], items[j + 2]
+                if not isinstance(lo, bytes) or not isinstance(hi, bytes):
+                    continue
+                clen = clen or len(lo)
+                lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+                if hi_i < lo_i or hi_i - lo_i > 65535:
+                    continue
+                if isinstance(dst, list):
+                    for k, d in enumerate(dst):
+                        if lo_i + k <= hi_i:
+                            mp[lo_i + k] = dst_text(d)
+                elif isinstance(dst, bytes) and dst:
+                    base = int.from_bytes(dst, "big")
+                    width = len(dst)
+                    for k in range(hi_i - lo_i + 1):
+                        mp[lo_i + k] = dst_text(
+                            (base + k).to_bytes(width, "big")
+                        )
+        if not mp:
+            return None
+        return (clen or 2, mp)
+    except Exception:
+        return None
+
+
+def _font_maps(payload: bytes, objs, page_dict, crypt=None) -> dict[str, tuple[int, dict[int, str]]]:
+    """Page /Resources/Font → {name: parsed ToUnicode CMap}. Fonts
+    without a /ToUnicode keep the latin-1 byte fallback (the pre-CID
+    behavior, byte-locked by the goldens)."""
+    fonts: dict[str, tuple[int, dict[int, str]]] = {}
+    res = _resolve(objs, page_dict.get("/Resources"))
+    if not isinstance(res, dict):
+        return fonts
+    fd = _resolve(objs, res.get("/Font"))
+    if not isinstance(fd, dict):
+        return fonts
+    for name, ref in fd.items():
+        f = _resolve(objs, ref)
+        if not isinstance(f, dict):
+            continue
+        tu = f.get("/ToUnicode")
+        if not isinstance(tu, _Ref):
+            continue
+        data = _stream_bytes(payload, objs, tu.num, crypt)
+        if not data:
+            continue
+        parsed = _parse_cmap(data)
+        if parsed:
+            fonts[name] = parsed
+    return fonts
 
 
 def _page_image_gray(payload: bytes, objs, page_dict, crypt=None):
@@ -582,11 +712,12 @@ def extract_pdf(payload: bytes, use_ocr: bool = False) -> tuple[str, bool, list[
                 if isinstance(contents, list)
                 else ([contents] if isinstance(contents, _Ref) else [])
             )
+            fonts = _font_maps(payload, objs, d, crypt)
             page_text = ""
             for r in refs:
                 raw = _stream_bytes(payload, objs, r.num, crypt)
                 if raw:
-                    page_text += _content_text(raw)
+                    page_text += _content_text(raw, fonts)
             if page_text.strip():
                 pages_with_text += 1
                 # reference utils/file_handlers.py:303

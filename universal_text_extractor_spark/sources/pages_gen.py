@@ -172,6 +172,7 @@ def _pdf_doc_pages(
     stream_filter: str | None = None,
     encrypt: str | None = None,
     user_password: bytes = b"",
+    cid_font: bool = False,
 ) -> bytes:
     """Spec-based PDF writer. ``scan_lines`` (one list of text lines per
     page) makes each page a SCANNED page: no text operators, but a real
@@ -190,8 +191,12 @@ def _pdf_doc_pages(
     openable-without-prompting shape that dominates real crawls); the
     derivation helpers are the shared spec constants of
     kernels/pdf_crypt.py, the document structure on each side is
-    independent (same pattern as the OCR font table)."""
+    independent (same pattern as the OCR font table). ``cid_font=True``
+    renders text through a Type0 /Identity-H font with 2-byte codes and
+    a /ToUnicode CMap (the subset-font shape every modern PDF producer
+    emits) — extracted text must equal the simple-font twin's."""
     objects: list[bytes] = []
+    cid_map: dict[str, int] = {}
 
     def add(body: bytes) -> int:
         objects.append(body)
@@ -305,12 +310,28 @@ def _pdf_doc_pages(
             image_dims.append(None)
         image_nums.append(img_num)
         if scan_lines is None and not empty:
-            lines = [_pdf_escape(_sentence(rng, rng.randint(4, 9))) for _ in range(rng.randint(8, 40))]
-            ops = ["BT /F1 12 Tf 72 720 Td"]
-            ops.append(f"({lines[0]}) Tj")
-            for ln in lines[1:]:
-                ops.append(f"0 -14 Td ({ln}) Tj")
-            ops.append("ET")
+            raw_lines = [_sentence(rng, rng.randint(4, 9)) for _ in range(rng.randint(8, 40))]
+            if cid_font:
+                def _hexshow(t: str) -> str:
+                    codes = []
+                    for ch in t:
+                        if ch not in cid_map:
+                            cid_map[ch] = len(cid_map) + 1
+                        codes.append("%04X" % cid_map[ch])
+                    return "<" + "".join(codes) + ">"
+
+                ops = ["BT /F1 12 Tf 72 720 Td"]
+                ops.append(f"{_hexshow(raw_lines[0])} Tj")
+                for ln in raw_lines[1:]:
+                    ops.append(f"0 -14 Td {_hexshow(ln)} Tj")
+                ops.append("ET")
+            else:
+                lines = [_pdf_escape(t) for t in raw_lines]
+                ops = ["BT /F1 12 Tf 72 720 Td"]
+                ops.append(f"({lines[0]}) Tj")
+                for ln in lines[1:]:
+                    ops.append(f"0 -14 Td ({ln}) Tj")
+                ops.append("ET")
             stream = " ".join(ops).encode("latin-1")
         if stream_filter == "lzw":
             # PDF LZWDecode is the TIFF coding — same early-change rule
@@ -347,10 +368,15 @@ def _pdf_doc_pages(
     pages_tree_num = npages + len(content_nums) + 2  # computed below properly
     # reserve: we add page objects now, then the pages node, then catalog
     for p in range(npages):
-        res = (
-            b" /Resources << /Font << /F1 "
-            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >>"
-        )
+        if cid_font:
+            fdict = (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /UTES+Synth"
+                b" /Encoding /Identity-H /ToUnicode TOUNIREF >>"
+            )
+        else:
+            fdict = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        res = b" /Resources << /Font << /F1 " + fdict + b" >>"
+
         if image_nums[p] is not None:
             res += (
                 b" /XObject << /Im0 " + str(image_nums[p]).encode() + b" 0 R >>"
@@ -367,6 +393,22 @@ def _pdf_doc_pages(
         b"<< /Type /Pages /Kids " + kids + b" /Count " + str(npages).encode() + b" >>"
     )
     catalog_num = add(b"<< /Type /Catalog /Pages " + str(pages_num).encode() + b" 0 R >>")
+    touni_patch = None
+    if cid_font:
+        cmap_src = _build_tounicode_cmap(cid_map)
+        if flate:
+            tcomp = enc_stream(zlib.compress(cmap_src))
+            tbody = (
+                b"<< /Length " + str(len(tcomp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + tcomp + b"\nendstream"
+            )
+        else:
+            traw = enc_stream(cmap_src)
+            tbody = (
+                b"<< /Length " + str(len(traw)).encode()
+                + b" >>\nstream\n" + traw + b"\nendstream"
+            )
+        touni_patch = str(add(tbody)).encode() + b" 0 R"
     trailer_extra = b""
     if enc_meta is not None:
         o_entry, u_entry, file_id, p_flags, r, v, ue, oe, perms = enc_meta
@@ -400,6 +442,8 @@ def _pdf_doc_pages(
     # patch parent refs
     parent = str(pages_num).encode() + b" 0 R"
     objects = [o.replace(b"PAGESREF", parent) for o in objects]
+    if touni_patch is not None:
+        objects = [o.replace(b"TOUNIREF", touni_patch) for o in objects]
 
     if objstm:
         return _pdf_emit_objstm(
@@ -425,6 +469,36 @@ def _pdf_doc_pages(
         + str(xref_off).encode() + b"\n%%EOF\n"
     )
     return bytes(out)
+
+
+def _build_tounicode_cmap(cid_map: dict[str, int]) -> bytes:
+    """Spec-shaped /ToUnicode CMap: Identity-H 2-byte codes, bfchar
+    blocks chunked at the spec's 100-entry limit, UTF-16BE targets."""
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /UTES-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    items = sorted((code, ch) for ch, code in cid_map.items())
+    for i in range(0, len(items), 100):
+        chunk = items[i : i + 100]
+        lines.append(b"%d beginbfchar" % len(chunk))
+        for code, ch in chunk:
+            dst = ch.encode("utf-16-be").hex().upper().encode()
+            lines.append(b"<%04X> <" % code + dst + b">")
+        lines.append(b"endbfchar")
+    lines += [
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    return b"\n".join(lines)
 
 
 def _pdf_emit_objstm(
