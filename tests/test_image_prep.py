@@ -177,3 +177,65 @@ def test_profile_scores_match_float_variance():
         # same ordering (float ties allowed to go either way within 1e-12)
         if abs(var_rows - var_cols) > 1e-9:
             assert (s_rows > s_cols) == (var_rows > var_cols)
+
+
+def test_png_widened_round_trips():
+    """PNG beyond the legacy subset: palette (PLTE, depths 1/2/4/8),
+    Adam7 interlace (7 independently filtered passes, incl. images small
+    enough that some passes are empty), 16-bit (high byte kept), sub-8
+    gray, gray+alpha. All lossless → byte-exact vs the writer grid."""
+    import random
+
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.image_prep import _decode_png
+    from universal_text_extractor_spark.sources.pages_gen import make_png
+
+    rng = random.Random(12)
+    W, H = 21, 17
+    rgb = [
+        [(rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+         for _ in range(W)]
+        for _ in range(H)
+    ]
+    gray = [[rng.randint(0, 255) for _ in range(W)] for _ in range(H)]
+    want_rgb = np.array(rgb, np.uint8)
+    want_gray = np.repeat(np.array(gray, np.uint8)[:, :, None], 3, axis=2)
+    filts = [rng.choice([0, 1, 2, 3, 4]) for _ in range(200)]
+
+    for color, pix, want in (("rgb", rgb, want_rgb), ("gray", gray, want_gray)):
+        for il in (False, True):
+            for d in (8, 16):
+                got = _decode_png(make_png(pix, color, filts, interlace=il, depth=d))
+                assert got is not None and np.array_equal(got, want), (color, il, d)
+    ga = [[(gray[y][x], rng.randint(0, 255)) for x in range(W)] for y in range(H)]
+    for il in (False, True):
+        got = _decode_png(make_png(ga, "graya", filts, interlace=il))
+        assert np.array_equal(got, want_gray), ("graya", il)
+    for d, ncol in ((1, 2), (2, 4), (4, 16), (8, 200)):
+        colors = [
+            (rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+            for _ in range(ncol)
+        ]
+        pp = [[rng.choice(colors) for _ in range(W)] for _ in range(H)]
+        for il in (False, True):
+            got = _decode_png(make_png(pp, "palette", filts, interlace=il, depth=d))
+            assert got is not None and np.array_equal(got, np.array(pp, np.uint8)), (d, il)
+    for d in (1, 2, 4):
+        step = 255 // ((1 << d) - 1)
+        gq = [[rng.randint(0, (1 << d) - 1) * step for _ in range(W)] for _ in range(H)]
+        for il in (False, True):
+            got = _decode_png(make_png(gq, "gray", filts, interlace=il, depth=d))
+            want = np.repeat(np.array(gq, np.uint8)[:, :, None], 3, axis=2)
+            assert got is not None and np.array_equal(got, want), (d, il)
+    for w2, h2 in ((1, 1), (2, 3), (5, 5), (8, 1), (1, 9)):
+        pix = [[(x * 13 % 256, y * 29 % 256, 7) for x in range(w2)] for y in range(h2)]
+        got = _decode_png(make_png(pix, "rgb", [0], interlace=True))
+        assert got is not None and np.array_equal(got, np.array(pix, np.uint8)), (w2, h2)
+    # corruption containment across the new paths
+    good = make_png(rgb, "rgb", filts, interlace=True)
+    for pos in range(8, len(good), max(1, len(good) // 30)):
+        mut = bytearray(good)
+        mut[pos] ^= 0xA5
+        r = _decode_png(bytes(mut))
+        assert r is None or isinstance(r, np.ndarray)

@@ -128,14 +128,54 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_subimage(
+    raw: np.ndarray, w: int, h: int, channels: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub-)image → ((h, w, channels) SAMPLES at
+    native depth as uint8 — 16-bit keeps the high byte — , bytes consumed).
+    Filtering distance is the byte-level bpp (spec: max(1, channels*depth/8))."""
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth) // 8)
+    need = h * (stride + 1)
+    if raw.size < need:
+        raise ValueError("short PNG data")
+    flat = _unfilter(raw[:need], h, stride, bpp)
+    if depth == 8:
+        px = flat[:, : w * channels].reshape(h, w, channels)
+    elif depth == 16:
+        px = flat.reshape(h, stride)[:, 0 : 2 * w * channels : 2].reshape(
+            h, w, channels
+        )  # high byte ≡ /257 rounding of the 16-bit sample
+    else:  # 1 / 2 / 4 bit, single channel (gray or palette indices)
+        bits = np.unpackbits(flat.reshape(h, stride), axis=1)[
+            :, : w * depth
+        ].reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        px = (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[
+            :, :, None
+        ]
+    return px, need
+
+
 def _decode_png(b: bytes) -> np.ndarray | None:
-    """Non-interlaced 8-bit gray / RGB / RGBA PNG → (H, W, 3) uint8 RGB."""
+    """PNG → (H, W, 3) uint8 RGB. Supported: gray / RGB / gray+alpha /
+    RGBA / palette color types, bit depths 1/2/4/8/16 (16-bit keeps the
+    high byte), non-interlaced AND Adam7-interlaced (7 independently
+    filtered passes). Alpha is dropped; anything outside → None (D2)."""
     if not b.startswith(b"\x89PNG\r\n\x1a\n"):
         return None
     try:
         w = h = None
         color = depth = interlace = None
         idat = b""
+        plte = None
         for ctype, data in _png_chunks(b):
             if ctype == b"IHDR":
                 w, hh = struct.unpack_from(">II", data, 0)
@@ -143,18 +183,50 @@ def _decode_png(b: bytes) -> np.ndarray | None:
                 h = hh
             elif ctype == b"IDAT":
                 idat += data
-        if not w or not h or depth != 8 or interlace != 0:
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8)
+        if not w or not h or interlace not in (0, 1):
             return None
-        channels = {0: 1, 2: 3, 6: 4}.get(color)
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
         if channels is None:
             return None
-        stride = w * channels
-        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-        if raw.size != h * (stride + 1):
+        valid_depths = {
+            0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+            4: (8, 16), 6: (8, 16),
+        }[color]
+        if depth not in valid_depths:
             return None
-        px = _unfilter(raw, h, stride, channels).reshape(h, w, channels)
+        if color == 3 and (plte is None or plte.size % 3 or plte.size == 0):
+            return None
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+        if interlace == 0:
+            px, _used = _png_subimage(raw, w, h, channels, depth)
+        else:
+            px = np.zeros((h, w, channels), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub, used = _png_subimage(raw[off:], pw, ph, channels, depth)
+                off += used
+                px[y0::dy, x0::dx] = sub
+        if color == 3:  # palette indices → RGB
+            pal = plte.reshape(-1, 3)
+            idx = px[:, :, 0]
+            if int(idx.max()) >= pal.shape[0]:
+                return None
+            return pal[idx].astype(np.uint8)
+        if color == 0 and depth < 8:
+            # expand sub-8 gray to full range (scale 255/(2^d − 1))
+            px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
         if channels == 1:
             return np.repeat(px, 3, axis=2)
+        if channels == 2:  # gray + alpha: drop alpha
+            return np.repeat(px[:, :, :1], 3, axis=2)
         return px[:, :, :3].copy()
     except Exception:
         return None

@@ -698,51 +698,133 @@ def make_bmp(pixels: list[list[tuple[int, int, int]]], top_down: bool = False) -
 
 
 def make_png(
-    pixels: list[list], color: str = "rgb", filters: list[int] | None = None
+    pixels: list[list],
+    color: str = "rgb",
+    filters: list[int] | None = None,
+    interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Non-interlaced 8-bit PNG writer with per-row scanline filters
-    (0=None 1=Sub 2=Up 3=Average 4=Paeth — the full spec set, forward
-    transform; the kernel decoder implements the inverse). ``pixels`` is
-    rows of (r,g,b) / (r,g,b,a) tuples or gray ints; ``filters`` picks the
-    filter per row (default all 0)."""
+    """PNG writer with per-row scanline filters (0=None 1=Sub 2=Up
+    3=Average 4=Paeth — the full spec set, forward transform; the kernel
+    decoder implements the inverse). ``pixels`` is rows of (r,g,b) /
+    (r,g,b,a) tuples or gray ints; ``filters`` picks the filter per
+    emitted row (cycled). ``color``: gray / rgb / rgba / graya /
+    palette (PLTE from unique colors); ``depth``: 8 (default, byte-
+    stable legacy layout), 16 (samples widened ×257), or 1/2/4 for
+    gray (quantized) and palette (packed indices); ``interlace`` emits
+    Adam7 (7 independently filtered passes)."""
     import struct as _st
 
     h = len(pixels)
     w = len(pixels[0]) if h else 0
-    ctype, nch = {"gray": (0, 1), "rgb": (2, 3), "rgba": (6, 4)}[color]
+    ctype, nch = {
+        "gray": (0, 1), "rgb": (2, 3), "rgba": (6, 4),
+        "graya": (4, 2), "palette": (3, 1),
+    }[color]
+    plte = b""
+    # sample grid: per row, a flat list of native-depth sample ints
+    if color == "palette":
+        if depth not in (1, 2, 4, 8):
+            raise ValueError("palette depth must be 1/2/4/8")
+        uniq: dict[tuple[int, int, int], int] = {}
+        grid = []
+        for row in pixels:
+            out_row = []
+            for px in row:
+                key = (int(px[0]), int(px[1]), int(px[2]))
+                if key not in uniq:
+                    uniq[key] = len(uniq)
+                out_row.append(uniq[key])
+            grid.append(out_row)
+        if len(uniq) > (1 << depth):
+            raise ValueError("palette too large for depth")
+        pal = [(0, 0, 0)] * len(uniq)
+        for rgb, i in uniq.items():
+            pal[i] = rgb
+        plte = b"".join(bytes(c) for c in pal)
+    else:
+        def scale(v: int) -> int:
+            if depth == 16:
+                return int(v) * 257
+            if depth < 8:
+                return int(v) // (255 // ((1 << depth) - 1))
+            return int(v)
 
-    def flat(row):
-        out = bytearray()
-        for px in row:
-            out += bytes(px if isinstance(px, (tuple, list)) else (px,))
+        if depth != 8 and not (color == "gray" or depth == 16):
+            raise ValueError("sub-8 depths are gray/palette only")
+        grid = [
+            [
+                scale(c)
+                for px in row
+                for c in (px if isinstance(px, (tuple, list)) else (px,))
+            ]
+            for row in pixels
+        ]
+
+    def pack_row(samples: list[int]) -> bytes:
+        if depth == 8:
+            return bytes(v & 0xFF for v in samples)
+        if depth == 16:
+            return b"".join(_st.pack(">H", v & 0xFFFF) for v in samples)
+        out = bytearray((len(samples) * depth + 7) // 8)
+        for i, v in enumerate(samples):
+            bitpos = i * depth
+            out[bitpos >> 3] |= (v & ((1 << depth) - 1)) << (
+                8 - depth - (bitpos & 7)
+            )
         return bytes(out)
 
-    raws = [flat(r) for r in pixels]
-    filters = filters or [0] * h
+    bpp = max(1, (nch * depth) // 8)
+    filters = filters or [0] * max(1, h)
     scan = bytearray()
-    prior = b"\x00" * (w * nch)
-    for y, cur in enumerate(raws):
-        ft = filters[y]
-        enc = bytearray()
-        for x in range(len(cur)):
-            a = cur[x - nch] if x >= nch else 0
-            b = prior[x]
-            c = prior[x - nch] if x >= nch else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = a
-            elif ft == 2:
-                pred = b
-            elif ft == 3:
-                pred = (a + b) // 2
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-            enc.append((cur[x] - pred) & 0xFF)
-        scan += bytes([ft]) + bytes(enc)
-        prior = cur
+    row_no = 0
+
+    def emit_image(sample_rows: list[list[int]]):
+        nonlocal row_no, scan
+        if not sample_rows:
+            return
+        raws = [pack_row(r) for r in sample_rows]
+        prior = b"\x00" * len(raws[0])
+        for cur in raws:
+            ft = filters[row_no % len(filters)]
+            row_no += 1
+            enc = bytearray()
+            for x in range(len(cur)):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc.append((cur[x] - pred) & 0xFF)
+            scan += bytes([ft]) + bytes(enc)
+            prior = cur
+
+    if interlace:
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = [
+                [
+                    v
+                    for xi in range(x0, w, dx)
+                    for v in grid[yi][xi * nch : (xi + 1) * nch]
+                ]
+                for yi in range(y0, h, dy)
+            ]
+            emit_image([r for r in sub if r])
+    else:
+        emit_image(grid)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         body = tag + data
@@ -750,13 +832,11 @@ def make_png(
             ">I", zlib.crc32(body) & 0xFFFFFFFF
         )
 
-    ihdr = _st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(scan)))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = _st.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b"")
 
 
 def _document_pixels(rng: random.Random, w: int, h: int) -> list[list]:
