@@ -278,3 +278,34 @@ def test_audio_features_ima_adpcm(spark):
     assert any(x > 0 for x in want)
     for g, w in zip(got, want):
         assert abs(g - w) <= max(0.25 * w, 0.02), (g, w)
+
+
+def test_interlaced_gif_decodes_like_plain():
+    """GIF89a interlaced frames (appendix-E 4-pass row order) must decode
+    identically to the non-interlaced twin, every frame, incl. edge
+    heights where passes are empty."""
+    import random
+
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.gif_kernel import decode_gif_frames
+    from universal_text_extractor_spark.sources.pages_gen import make_gif
+
+    rng = random.Random(3)
+    frames = [
+        [[rng.randint(0, 255) for _ in range(19)] for _ in range(13)]
+        for _ in range(3)
+    ]
+    dp = decode_gif_frames(make_gif(frames), max_frames=10)
+    di = decode_gif_frames(make_gif(frames, interlace=True), max_frames=10)
+    assert dp and di
+    n = 0
+    for (d1, f1), (d2, f2) in zip(dp[2], di[2]):
+        assert d1 == d2 and np.array_equal(f1, f2)
+        n += 1
+    assert n == 3
+    for h in (1, 2, 3, 8, 9):
+        fr = [[[rng.randint(0, 255) for _ in range(5)] for _ in range(h)]]
+        a = next(iter(decode_gif_frames(make_gif(fr), max_frames=2)[2]))[1]
+        b = next(iter(decode_gif_frames(make_gif(fr, interlace=True), max_frames=2)[2]))[1]
+        assert np.array_equal(a, b), h

@@ -4,10 +4,11 @@ moving-picture container that is spec-simple enough to implement here
 (GIF's LZW is a short public algorithm; real video codecs are not in the
 sandbox and stay honestly stubbed).
 
-Scope: non-interlaced frames, global or local color tables, graphic-
+Scope: non-interlaced AND interlaced frames (GIF89a appendix-E 4-pass
+row order inverted vectorized), global or local color tables, graphic-
 control delays; frames compose by drawing onto the prior canvas (the
 writer emits full-canvas frames, so disposal modes beyond draw-on-top
-are out of scope → error on interlace, containment elsewhere). The
+stay out of scope; containment elsewhere). The
 synthetic corpus comes from an INDEPENDENT writer
 (``sources.pages_gen.make_gif`` — fixed-width literal-code LZW with
 periodic clears; own writer ≠ parser).
@@ -134,8 +135,7 @@ def open_gif(payload: bytes) -> tuple[int, int, Iterator[tuple[int, np.ndarray]]
                     left, top, iw, ih = struct.unpack_from("<HHHH", b, pos)
                     iflags = b[pos + 8]
                     pos += 9
-                    if iflags & 0x40:
-                        raise GifError("interlaced GIF out of scope")
+                    interlaced = bool(iflags & 0x40)
                     table = gct
                     if iflags & 0x80:
                         size = 2 << (iflags & 0x07)
@@ -157,6 +157,20 @@ def open_gif(payload: bytes) -> tuple[int, int, Iterator[tuple[int, np.ndarray]]
                     if len(idx) < iw * ih:
                         raise GifError("frame pixel data truncated")
                     ind = np.frombuffer(idx, np.uint8, iw * ih).reshape(ih, iw)
+                    if interlaced:
+                        # GIF89a appendix E: rows stored in 4 passes
+                        # (0::8, 4::8, 2::4, 1::2) — invert the reorder
+                        order = np.concatenate(
+                            [
+                                np.arange(0, ih, 8),
+                                np.arange(4, ih, 8),
+                                np.arange(2, ih, 4),
+                                np.arange(1, ih, 2),
+                            ]
+                        )
+                        deint = np.empty_like(ind)
+                        deint[order] = ind
+                        ind = deint
                     rgb = table[np.minimum(ind, len(table) - 1)]
                     canvas = canvas.copy()
                     canvas[top : top + ih, left : left + iw] = rgb[

@@ -1060,7 +1060,9 @@ def _ima_adpcm_encode(signal: list[int], block_align: int = 256) -> bytes:
 
 
 def make_gif(
-    frames: list[list[list[int]]], delays_ms: list[int] | None = None
+    frames: list[list[list[int]]],
+    delays_ms: list[int] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Minimal animated-GIF writer: 256-entry grayscale palette, full-
     canvas frames, graphic-control delays, and the fixed-width
@@ -1070,6 +1072,8 @@ def make_gif(
 
     ``frames``: list of H×W grayscale (0-255) pixel lists, equal dims.
     ``delays_ms``: per-frame delay (rounded down to centiseconds).
+    ``interlace=True`` stores rows in the GIF89a 4-pass order (appendix
+    E) with the interlace flag set.
     """
     import struct as _st
 
@@ -1112,11 +1116,19 @@ def make_gif(
             packed.append(acc & 0xFF)
         return bytes(packed)
 
+    pass_order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
     for frame, delay in zip(frames, delays_ms):
         out += b"\x21\xf9\x04\x00" + _st.pack("<H", delay // 10) + b"\x00\x00"
-        out += b"\x2c" + _st.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x2c" + _st.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace else 0x00])
         out += bytes([8])  # LZW min code size
-        data = lzw_literal(bytes(v for row in frame for v in row))
+        rows_out = [frame[y] for y in pass_order] if interlace else frame
+        data = lzw_literal(bytes(v for row in rows_out for v in row))
         for off in range(0, len(data), 255):
             chunk = data[off : off + 255]
             out += bytes([len(chunk)]) + chunk
