@@ -253,3 +253,35 @@ endcmap"""
     both = b"1 beginbfrange <0005> <0001> <0041> endbfrange 1 beginbfchar <0009> <0042> endbfchar"
     clen2, mp2 = _parse_cmap(both)
     assert mp2 == {9: "B"}
+
+
+def test_pdf_contents_array_is_one_stream():
+    """A page's /Contents ARRAY forms one logical stream (spec §7.8.2):
+    a Tf font selection in stream 1 must still govern text shown in
+    stream 2 (CID map case)."""
+    import zlib
+
+    from universal_text_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    cmap = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange "
+            b"2 beginbfchar <0001> <0048> <0002> <0049> endbfchar")
+    s1 = b"BT /F1 12 Tf 72 720 Td"
+    s2 = b"<00010002> Tj ET"
+    objs = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objs.append(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents [4 0 R 5 0 R] /Resources << /Font << /F1"
+        b" << /Type /Font /Subtype /Type0 /Encoding /Identity-H"
+        b" /ToUnicode 6 0 R >> >> >> >>"
+    )
+    objs.append(b"<< /Length " + str(len(s1)).encode() + b" >>\nstream\n" + s1 + b"\nendstream")
+    objs.append(b"<< /Length " + str(len(s2)).encode() + b" >>\nstream\n" + s2 + b"\nendstream")
+    objs.append(b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n" + cmap + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, 1):
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    text, _, logs = extract_pdf(bytes(out))
+    assert "HI" in text, (text, logs)

@@ -713,11 +713,15 @@ def extract_pdf(payload: bytes, use_ocr: bool = False) -> tuple[str, bool, list[
                 else ([contents] if isinstance(contents, _Ref) else [])
             )
             fonts = _font_maps(payload, objs, d, crypt)
-            page_text = ""
-            for r in refs:
-                raw = _stream_bytes(payload, objs, r.num, crypt)
-                if raw:
-                    page_text += _content_text(raw, fonts)
+            # a page's /Contents array forms ONE logical stream (spec
+            # §7.8.2) — concatenate before parsing so text state (Tf
+            # font selection) crosses stream boundaries
+            parts = [
+                raw
+                for r in refs
+                if (raw := _stream_bytes(payload, objs, r.num, crypt))
+            ]
+            page_text = _content_text(b"\n".join(parts), fonts) if parts else ""
             if page_text.strip():
                 pages_with_text += 1
                 # reference utils/file_handlers.py:303
