@@ -456,7 +456,7 @@ def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
 
 class UnsupportedEncryption:
     """Sentinel for /Encrypt dicts this handler cannot open (non-Standard
-    filters, V=5/AES-256, crypt filters other than V2/AESV2, or a
+    filters, crypt-filter methods other than V2/AESV2/AESV3, or a
     non-empty user password). The kernel maps it to the reference's
     corrupt/protected literal — exactly PyMuPDF's refusal behavior."""
 
