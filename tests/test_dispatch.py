@@ -55,3 +55,60 @@ def test_sniff_parity_corpus(spark):
         if got[p["url"]] != want:
             mismatches.append((p["url"], got[p["url"]], want))
     assert not mismatches, mismatches[:10]
+
+
+def test_gzip_transparent_decompression(spark):
+    """gzip payloads (.gz extension or 1F 8B magic) decompress and
+    re-dispatch transparently — north-star crawl extension. JVM/Python
+    detector parity, inner-type routing, bomb/nesting/corruption guards,
+    and fused-pipeline integration."""
+    import gzip as _g
+    import random
+
+    from pyspark.sql import Row
+
+    from universal_text_extractor_spark.kernels.dispatch import extract_payload
+    from universal_text_extractor_spark.operators.extract import extract_pages_fused
+    from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
+
+    html = b"<html><head><title>T</title></head><body><p>Hello gz</p></body></html>"
+    gz = _g.compress(html, mtime=0)
+    pdf = _pdf_doc_pages(random.Random(2), 2, True)
+
+    # detector parity (extension and magic-only)
+    rows = [
+        ("https://x/a.html.gz", gz),
+        ("https://x/stream", gz),
+        ("https://x/doc.pdf.gz", _g.compress(pdf, mtime=0)),
+    ]
+    df = spark.createDataFrame(
+        [Row(url=u, html=p) for u, p in rows]
+    ).withColumn("ct", content_type_col(F.col("url"), F.col("html")))
+    got = {r["url"]: r["ct"] for r in df.collect()}
+    for u, p in rows:
+        assert got[u] == detect_content_type(u, p) == "gzip", u
+
+    # inner routing equals direct extraction of the decompressed twin
+    t, _, s, _, logs = extract_payload("https://x/a.html.gz", gz, "gzip")
+    assert t == extract_payload("https://x/a.html", html, "html")[0] and s
+    assert any("Decompressed gzip payload" in l for l in logs)
+    t2 = extract_payload("https://x/doc.pdf.gz", _g.compress(pdf, mtime=0), "gzip")[0]
+    assert t2 == extract_payload("https://x/doc.pdf", pdf, "pdf")[0]
+
+    # nesting stops at one level; corruption/truncation contained
+    gz2 = _g.compress(gz, mtime=0)
+    assert "[Unsupported file type: unknown]" in extract_payload("https://x/a.gz", gz2, "gzip")[0]
+    bad = bytearray(gz)
+    bad[12] ^= 0xFF
+    t3, _, s3, _, _ = extract_payload("https://x/a.html.gz", bytes(bad), "gzip")
+    assert t3.startswith("[Error extracting text:") and not s3
+    assert isinstance(extract_payload("https://x/a.html.gz", gz[:10], "gzip")[0], str)
+
+    # through the fused pipeline (text family routes the gzip branch)
+    pages = spark.createDataFrame(
+        [Row(url="https://x/a.html.gz", warc_ts=None, html=gz, text="", lang="en")],
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract_pages_fused(pages, num_partitions=2).collect()
+    assert len(out) == 1 and out[0]["content_type"] == "gzip"
+    assert out[0]["text"] == extract_payload("https://x/a.html", html, "html")[0]

@@ -64,6 +64,10 @@ for _e in ("htm",):
     EXT_TO_TYPE[_e] = "html"
 for _e in ("jpg", "jpeg", "png", "tiff", "tif", "bmp", "gif", "webp", "heic", "heif"):
     EXT_TO_TYPE[_e] = "image"
+# north-star extension beyond the reference taxonomy: crawls store
+# gzip-compressed bodies; the payload decompresses transparently and
+# re-dispatches (mirrored in functions/sniff.py — keep in sync)
+EXT_TO_TYPE["gz"] = "gzip"
 
 # Types with a real kernel. Of the legacy OLE formats, xls (BIFF8) and msg
 # (MAPI) now parse for real (kernels/xls_kernel.py, msg_kernel.py); doc/ppt
@@ -71,7 +75,7 @@ for _e in ("jpg", "jpeg", "png", "tiff", "tif", "bmp", "gif", "webp", "heic", "h
 IMPLEMENTED_TYPES = (
     "html", "xml", "txt", "pdf", "rtf", "csv", "eml", "image",
     "docx", "pptx", "xlsx", "ods", "odt", "odp", "epub",
-    "doc", "ppt", "xls", "msg",
+    "doc", "ppt", "xls", "msg", "gzip",
 )
 
 # Dispatch-branch grouping for the Spark filter+union fan-out: one Arrow UDF
@@ -81,7 +85,7 @@ IMPLEMENTED_TYPES = (
 BRANCH_FAMILIES: dict[str, tuple[str, ...]] = {
     "html": ("html",),
     "pdf": ("pdf",),
-    "text": ("txt", "csv", "rtf", "eml", "xml"),
+    "text": ("txt", "csv", "rtf", "eml", "xml", "gzip"),
     "office": (
         "docx", "pptx", "xlsx", "ods", "odt", "odp", "epub",
         "doc", "ppt", "xls", "msg",
@@ -94,6 +98,9 @@ BRANCH_FAMILIES: dict[str, tuple[str, ...]] = {
 URL_EXT_PATTERN = r"^[^?#]*/[^/?#]*\.([A-Za-z0-9]{1,5})(?:[?#].*)?$"
 _URL_EXT_RE = re.compile(URL_EXT_PATTERN)
 _LEADING_WS_RE = re.compile(r"^[ \t\r\n\f]+")
+
+# gzip decompression bomb cap (bytes of decompressed output per payload)
+_GZIP_CAP = 128 * 1024 * 1024
 
 
 def url_extension(url: str) -> str | None:
@@ -115,6 +122,8 @@ def _sniff_magic(payload: bytes) -> str | None:
         return "image"
     if payload.startswith(b"{\\rtf"):
         return "rtf"
+    if payload.startswith(b"\x1f\x8b"):
+        return "gzip"
     return None
 
 
@@ -261,6 +270,32 @@ def extract_payload(
             from .xls_kernel import extract_xls
 
             text, k_logs = extract_xls(payload or b"")
+            logs.extend(k_logs)
+        elif file_type == "gzip":
+            # transparent crawl-payload decompression (north-star
+            # extension; the reference has no gzip path): gunzip with a
+            # bomb cap, strip the .gz suffix, re-detect, dispatch once
+            # (no nested gzip recursion)
+            import zlib as _zlib
+
+            dobj = _zlib.decompressobj(wbits=31)
+            inner = dobj.decompress(payload or b"", _GZIP_CAP)
+            if dobj.unconsumed_tail:
+                raise ValueError("gzip payload exceeds decompression cap")
+            if not inner and not dobj.eof:
+                raise ValueError("gzip stream empty or corrupt")
+            inner_url = url[:-3] if (url or "").lower().endswith(".gz") else url
+            inner_ct = detect_content_type(inner_url, inner)
+            if inner_ct == "gzip":
+                inner_ct = "unknown"  # one level only
+            logs.append(
+                f"Decompressed gzip payload "
+                f"({len(payload or b'')} -> {len(inner)} bytes)"
+            )
+            text, ocr_used, _s, error, k_logs = extract_payload(
+                inner_url, inner, inner_ct,
+                use_ocr=use_ocr, main_content=main_content,
+            )
             logs.extend(k_logs)
         elif file_type == "msg":
             # reference utils/file_handlers.py:1231-1252 (extract_msg path,
