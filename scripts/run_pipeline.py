@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--main-content", action="store_true",
                     help="HTML branch emits Readability-style main content "
                          "(boilerplate removed) instead of full-page text")
+    ap.add_argument("--warc", action="store_true",
+                    help="--pages points at .warc/.warc.gz archives "
+                         "(Common Crawl layout) instead of a parquet table")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,7 +58,12 @@ def main() -> None:
 
     from universal_text_extractor_spark.plans.pipeline import run_extraction
 
-    pages = spark.read.parquet(args.pages)
+    if args.warc:
+        from universal_text_extractor_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.pages)
+    else:
+        pages = spark.read.parquet(args.pages)
     run = run_extraction(
         spark, pages, args.out, n_buckets=args.buckets,
         num_partitions=args.partitions, use_ocr=args.use_ocr,
