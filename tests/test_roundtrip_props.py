@@ -308,3 +308,95 @@ def test_ima_adpcm_containment():
     struct.pack_into("<I", frag, 12 + 8 + 20 + 4, dlen + 2)
     struct.pack_into("<I", frag, 4, len(frag) - 8)
     assert decode_wav(bytes(frag)) is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_aes_cbc_property(data):
+    """AES-CBC round-trips for arbitrary keys/IVs/lengths, all three key
+    sizes — alongside the fixed FIPS-197 vectors in test_pdf_crypt.py."""
+    from universal_text_extractor_spark.kernels.pdf_crypt import (
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+    )
+
+    key = bytes(data.draw(st.lists(st.integers(0, 255),
+                                   min_size=16, max_size=16)))
+    key = key * data.draw(st.sampled_from([1, 2])) if len(key) == 16 else key
+    iv = bytes(data.draw(st.lists(st.integers(0, 255), min_size=16, max_size=16)))
+    msg = bytes(data.draw(st.lists(st.integers(0, 255), min_size=0, max_size=200)))
+    assert aes_cbc_decrypt(key, aes_cbc_encrypt(key, iv, msg)) == msg
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_png_modes_property(data):
+    """Random pixels × random per-row filters × interlace × palette/gray
+    depth round-trip byte-exact through the widened PNG writer/decoder."""
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.image_prep import _decode_png
+    from universal_text_extractor_spark.sources.pages_gen import make_png
+
+    w = data.draw(st.integers(1, 24))
+    h = data.draw(st.integers(1, 20))
+    interlace = data.draw(st.booleans())
+    filts = data.draw(st.lists(st.integers(0, 4), min_size=1, max_size=8))
+    mode = data.draw(st.sampled_from(["rgb", "gray", "palette16", "gray4", "rgb16"]))
+    if mode == "palette16":
+        colors = [
+            (data.draw(st.integers(0, 255)), data.draw(st.integers(0, 255)),
+             data.draw(st.integers(0, 255)))
+            for _ in range(data.draw(st.integers(1, 16)))
+        ]
+        pix = [[colors[data.draw(st.integers(0, len(colors) - 1))]
+                for _ in range(w)] for _ in range(h)]
+        png = make_png(pix, "palette", filts, interlace=interlace, depth=4)
+        want = np.array(pix, np.uint8)
+    elif mode == "gray4":
+        step = 255 // 15
+        pix = [[data.draw(st.integers(0, 15)) * step for _ in range(w)]
+               for _ in range(h)]
+        png = make_png(pix, "gray", filts, interlace=interlace, depth=4)
+        want = np.repeat(np.array(pix, np.uint8)[:, :, None], 3, axis=2)
+    else:
+        depth = 16 if mode.endswith("16") else 8
+        base = mode.replace("16", "")
+        if base == "gray":
+            pix = [[data.draw(st.integers(0, 255)) for _ in range(w)]
+                   for _ in range(h)]
+            want = np.repeat(np.array(pix, np.uint8)[:, :, None], 3, axis=2)
+        else:
+            pix = [[(data.draw(st.integers(0, 255)), data.draw(st.integers(0, 255)),
+                     data.draw(st.integers(0, 255))) for _ in range(w)]
+                   for _ in range(h)]
+            want = np.array(pix, np.uint8)
+        png = make_png(pix, base, filts, interlace=interlace, depth=depth)
+    got = _decode_png(png)
+    assert got is not None and np.array_equal(got, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_encrypted_cid_pdf_property(data):
+    """Random (seed, pages, mode, layout) encrypted/CID PDFs extract
+    byte-identically to their plain twin."""
+    import random
+
+    from universal_text_extractor_spark.kernels.pdf_kernel import extract_pdf
+    from universal_text_extractor_spark.sources.pages_gen import _pdf_doc_pages
+
+    seed = data.draw(st.integers(0, 10_000))
+    npages = data.draw(st.integers(1, 4))
+    flate = data.draw(st.booleans())
+    cid = data.draw(st.booleans())
+    objstm = data.draw(st.booleans())
+    mode = data.draw(st.sampled_from([None, "rc4-40", "rc4-128", "aesv2"]))
+    ref = extract_pdf(_pdf_doc_pages(random.Random(seed), npages, flate))[0]
+    got = extract_pdf(
+        _pdf_doc_pages(
+            random.Random(seed), npages, flate,
+            cid_font=cid, objstm=objstm, encrypt=mode,
+        )
+    )[0]
+    assert got == ref
