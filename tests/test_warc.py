@@ -76,3 +76,58 @@ def test_read_warc_to_extraction(spark, tmp_path):
         want = extract_payload(u, b)[0]
         assert out[u]["text"] == want, u
         assert out[u]["success"]
+
+
+def test_mixed_crawl_end_to_end(spark, tmp_path):
+    """Capstone integration: one WARC crawl mixing the real-web shapes
+    added this round — gzip-compressed HTML bodies, AES-256-encrypted
+    ObjStm PDFs, CID-font PDFs, scanned TIFFs (OCR path), interlaced
+    PNGs — through read_warc → extract_pages_fused(use_ocr=True), each
+    url's text equal to direct kernel extraction."""
+    import gzip as _g
+    import random
+
+    from universal_text_extractor_spark.kernels.dispatch import extract_payload
+    from universal_text_extractor_spark.operators.extract import extract_pages_fused
+    from universal_text_extractor_spark.sources.pages_gen import (
+        _pdf_doc_pages,
+        make_png,
+        make_tiff,
+        render_text_rows,
+    )
+
+    rng = random.Random(42)
+    html = b"<html><head><title>T</title></head><body><p>crawl body</p></body></html>"
+    scan_rows = render_text_rows(["MIXED CRAWL TEST"], rng, scale=1)
+    gray = [[px[0] for px in row] for row in scan_rows]
+    docs = [
+        ("https://m.example/page.html.gz", _g.compress(html, mtime=0)),
+        ("https://m.example/enc.pdf",
+         _pdf_doc_pages(random.Random(1), 2, True, encrypt="aes256", objstm=True)),
+        ("https://m.example/cid.pdf",
+         _pdf_doc_pages(random.Random(2), 2, True, cid_font=True)),
+        ("https://m.example/scan.tiff",
+         make_tiff(gray, color="gray", compression="lzw")),
+        ("https://m.example/pic.png",
+         make_png([[(10, 20, 30)] * 24] * 16, "rgb", [0], interlace=True)),
+    ]
+    warc = tmp_path / "mix"
+    warc.mkdir()
+    (warc / "crawl.warc.gz").write_bytes(
+        make_warc([(u, "2024-05-05T05:05:05Z", p) for u, p in docs])
+    )
+    pages = read_warc(spark, str(warc))
+    out = {
+        r["url"]: r
+        for r in extract_pages_fused(pages, num_partitions=2, use_ocr=True).collect()
+    }
+    assert set(out) == {u for u, _ in docs}
+    for u, p in docs:
+        want = extract_payload(u, p, use_ocr=True)[0]
+        assert out[u]["text"] == want, u
+    # the OCR'd scan actually recognized the rendered text
+    assert "MIXED CRAWL TEST" in out["https://m.example/scan.tiff"]["text"]
+    # the encrypted PDF produced real page text (not the corrupt literal)
+    assert "--- Page 1 ---" in out["https://m.example/enc.pdf"]["text"]
+    # the gzip body extracted the inner HTML
+    assert "crawl body" in out["https://m.example/page.html.gz"]["text"]
