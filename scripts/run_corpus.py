@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the crawl→training-corpus pipeline
+(plans/corpus.py): extraction → language ID → quality purge → exact
+dedup → MinHash near-dup purge → corpus + stats parquet.
+
+    spark-submit --py-files dist/utes.zip scripts/run_corpus.py \
+        --pages /data/crawl --warc --out /data/corpus_out \
+        --lang en de fr --near-dup-threshold 0.7
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages parquet or WARC path")
+    ap.add_argument("--out", required=True, help="output dir (corpus/ stats/)")
+    ap.add_argument("--warc", action="store_true",
+                    help="--pages points at .warc/.warc.gz archives")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--lang", nargs="*", default=None,
+                    help="language allowlist (predicted lang), e.g. en de")
+    ap.add_argument("--min-tokens", type=int, default=15)
+    ap.add_argument("--min-alpha-ratio", type=float, default=0.81)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.7)
+    ap.add_argument("--use-ocr", action="store_true")
+    ap.add_argument("--main-content", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("utes-corpus")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.warc:
+        from universal_text_extractor_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.pages)
+    else:
+        pages = spark.read.parquet(args.pages)
+
+    from universal_text_extractor_spark.plans.corpus import build_training_corpus
+
+    stats = build_training_corpus(
+        spark, pages, args.out,
+        min_alpha_ratio=args.min_alpha_ratio,
+        min_tokens=args.min_tokens,
+        lang_allow=args.lang,
+        near_dup_threshold=args.near_dup_threshold,
+        num_partitions=args.partitions,
+        use_ocr=args.use_ocr,
+        main_content=args.main_content,
+    )
+    print(" -> ".join(f"{k}={v}" for k, v in stats.items()))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Crawl → training-corpus pipeline: the end-to-end composition a
+large-scale LLM-data run actually executes, built entirely from the
+engine's existing scale-shaped operators.
+
+    pages (parquet / read_warc)
+      → extract_pages_fused            (1 salted shuffle, Arrow batches)
+      → success filter + doc framing   (doc_id = xxhash-free md5 of url)
+      → language ID                    (flat explode + InSet aggregate)
+      → quality purge                  (scan+filter, no shuffle)
+      → exact dedup purge              (8-byte-key hash agg + semi join)
+      → MinHash near-dup purge         (banded LSH + candidate-verify)
+      → corpus + stage-count stats parquet
+
+Scale notes: every stage reuses an operator whose plan shape was already
+audited for 100 TB (SURVEY.md §8) — the only additions here are LEFT
+SEMI joins that carry an 8-byte key, never document bytes. Near-dup
+purge semantics: a document dies when it is the HIGHER doc_id of any
+verified pair ≥ threshold (the standard keep-first rule; transitive
+closure is deliberately not computed — it needs an iterative
+connected-components pass that triples the shuffle count for marginal
+extra recall). Stage counts come from one cached pass per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import md5_long, minhash_lsh_pairs, normalized_text_col
+from ..operators.extract import extract_pages_fused
+from ..operators.textstats import lang_id_col
+from ..functions.text_funcs import token_count_col
+
+
+def frame_documents(extracted: DataFrame) -> DataFrame:
+    """Successful extractions → the documents shape the dedup/textstats
+    operators run on: (doc_id, url, source, lang, text, n_chars)."""
+    return (
+        extracted.filter(F.col("success"))
+        .select(
+            md5_long(F.col("url")).alias("doc_id"),
+            "url",
+            F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1).alias(
+                "source"
+            ),
+            lang_id_col(F.col("text")).alias("lang"),
+            "text",
+            F.length("text").alias("n_chars"),
+        )
+    )
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    min_alpha_ratio: float = 0.81,
+    min_tokens: int = 15,
+    lang_allow: list[str] | None = None,
+    near_dup_threshold: float = 0.7,
+    num_partitions: int | None = None,
+    use_ocr: bool = False,
+    main_content: bool = False,
+) -> dict:
+    """Run the full crawl→corpus pipeline; writes ``out_dir/corpus`` and
+    ``out_dir/stats`` parquet, returns the stage-count dict."""
+    extracted = extract_pages_fused(
+        pages,
+        num_partitions=num_partitions,
+        use_ocr=use_ocr,
+        main_content=main_content,
+    )
+    docs = frame_documents(extracted).persist()
+    stats = {"extracted_ok": docs.count()}
+
+    if lang_allow:
+        docs = docs.filter(F.col("lang").isin(*lang_allow))
+        stats["lang_kept"] = docs.count()
+
+    # quality purge (t6 semantics, text retained)
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
+    quality = docs.filter(
+        (token_count_col(F.col("text")) >= min_tokens)
+        & (alpha / F.greatest(F.col("n_chars"), F.lit(1)) >= min_alpha_ratio)
+    ).persist()
+    stats["quality_kept"] = quality.count()
+    docs.unpersist()
+
+    # exact dedup purge (dd7 shape: 8-byte key agg + LEFT SEMI back)
+    kept_ids = (
+        quality.select(
+            "doc_id", md5_long(normalized_text_col(F.col("text"))).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = quality.join(kept_ids, "doc_id", "left_semi").persist()
+    stats["exact_unique"] = exact.count()
+    quality.unpersist()
+
+    # near-dup purge: any doc that is the HIGHER id of a verified pair dies
+    pairs = minhash_lsh_pairs(exact, threshold=near_dup_threshold)
+    doomed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    corpus = exact.join(doomed, "doc_id", "left_anti")
+
+    corpus.write.mode("overwrite").parquet(f"{out_dir}/corpus")
+    final = spark.read.parquet(f"{out_dir}/corpus")
+    stats["near_dup_unique"] = final.count()
+    exact.unpersist()
+
+    spark.createDataFrame(
+        [tuple(stats.values())], schema=", ".join(f"{k} long" for k in stats)
+    ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    return stats
