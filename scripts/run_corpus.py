@@ -25,6 +25,9 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=15)
     ap.add_argument("--min-alpha-ratio", type=float, default=0.81)
     ap.add_argument("--near-dup-threshold", type=float, default=0.7)
+    ap.add_argument("--no-verify-jaccard", action="store_true",
+                    help="pair-free bucket-min near-dup purge (the linear "
+                         "100-TB fast path; trades recall precision)")
     ap.add_argument("--use-ocr", action="store_true")
     ap.add_argument("--main-content", action="store_true")
     args = ap.parse_args()
@@ -56,6 +59,7 @@ def main() -> None:
         min_tokens=args.min_tokens,
         lang_allow=args.lang,
         near_dup_threshold=args.near_dup_threshold,
+        verify_jaccard=not args.no_verify_jaccard,
         num_partitions=args.partitions,
         use_ocr=args.use_ocr,
         main_content=args.main_content,

@@ -77,3 +77,33 @@ def test_build_training_corpus(spark, tmp_path):
 
     read_stats = spark.read.parquet(f"{out}/stats").first().asDict()
     assert read_stats == stats
+
+
+def test_bucket_min_fast_path(spark, tmp_path):
+    """verify_jaccard=False: the pair-free bucket-min purge kills the
+    planted clones without materializing candidate pairs; exact-unique
+    keepers with disjoint shingles survive."""
+    pages = [
+        _page("https://a.example/keep1.html", _BASE + "unique tail one here today"),
+        _page("https://c.example/near.html", _BASE + "unique tail two here today"),
+        _page(
+            "https://d.example/keep2.html",
+            "completely different content about spark partitioning and the "
+            "catalyst optimizer with broadcast joins and shuffle planning in "
+            "large distributed analytical engines running columnar scans",
+        ),
+    ]
+    df = spark.createDataFrame(
+        pages,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = str(tmp_path / "fast_out")
+    stats = build_training_corpus(
+        spark, df, out, num_partitions=4, verify_jaccard=False
+    )
+    assert stats["exact_unique"] == 3
+    assert stats["near_dup_unique"] == 2  # near clone dies via bucket-min
+    urls = {
+        r["url"] for r in spark.read.parquet(f"{out}/corpus").select("url").collect()
+    }
+    assert "https://d.example/keep2.html" in urls and len(urls) == 2

@@ -224,13 +224,14 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return mins.select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """MinHash+LSH near-dup candidates: band the signature (LSH_BANDS bands
-    × NUM_MINHASHES/LSH_BANDS rows), bucket-join per band, dedupe candidate
-    pairs, verify with true Jaccard. Returns (doc_a, doc_b, jaccard)."""
+def lsh_bands(documents: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — the banded MinHash signature rows
+    (LSH_BANDS bands × NUM_MINHASHES/LSH_BANDS rows per bucket key).
+    Shared by the pair-generating path below and the pair-free
+    bucket-min purge in plans/corpus.py."""
     rows_per_band = NUM_MINHASHES // LSH_BANDS
     sigs = minhash_signatures(documents)
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -250,6 +251,13 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the signature (LSH_BANDS bands
+    × NUM_MINHASHES/LSH_BANDS rows), bucket-join per band, dedupe candidate
+    pairs, verify with true Jaccard. Returns (doc_a, doc_b, jaccard)."""
+    bands = lsh_bands(documents)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -58,12 +58,24 @@ def build_training_corpus(
     min_tokens: int = 15,
     lang_allow: list[str] | None = None,
     near_dup_threshold: float = 0.7,
+    verify_jaccard: bool = True,
     num_partitions: int | None = None,
     use_ocr: bool = False,
     main_content: bool = False,
 ) -> dict:
     """Run the full crawl→corpus pipeline; writes ``out_dir/corpus`` and
-    ``out_dir/stats`` parquet, returns the stage-count dict."""
+    ``out_dir/stats`` parquet, returns the stage-count dict.
+
+    ``verify_jaccard=False`` switches the near-dup stage to the
+    bucket-min kill: a document dies when any of its LSH band-buckets
+    contains a lower doc_id — one map-combinable aggregate + one
+    LEFT SEMI join, NO pair materialization. A template-heavy crawl can
+    put millions of docs into one bucket; the verified-pair path then
+    does quadratic work inside that cluster while the bucket-min path
+    stays linear. The trade is recall precision (a single-band collision
+    can kill a non-duplicate); production crawls take it at 100 TB,
+    which is why it exists here. Default stays the exact verified path
+    (``near_dup_threshold`` applies there)."""
     extracted = extract_pages_fused(
         pages,
         num_partitions=num_partitions,
@@ -100,9 +112,27 @@ def build_training_corpus(
     quality.unpersist()
 
     # near-dup purge: any doc that is the HIGHER id of a verified pair dies
-    pairs = minhash_lsh_pairs(exact, threshold=near_dup_threshold)
-    doomed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    corpus = exact.join(doomed, "doc_id", "left_anti")
+    if verify_jaccard:
+        pairs = minhash_lsh_pairs(exact, threshold=near_dup_threshold)
+        doomed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        corpus = exact.join(doomed, "doc_id", "left_anti")
+    else:
+        # bucket-min kill: keep a doc iff it IS the min of every bucket
+        # it lands in (equivalently: one anti-join against the set of
+        # docs that are non-min somewhere). Aggregate is map-combinable.
+        from ..operators.dedup import lsh_bands
+
+        bands = lsh_bands(exact)
+        bucket_min = bands.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("min_id")
+        )
+        doomed = (
+            bands.join(bucket_min, ["band", "bucket"])
+            .filter(F.col("doc_id") != F.col("min_id"))
+            .select("doc_id")
+            .distinct()
+        )
+        corpus = exact.join(doomed, "doc_id", "left_anti")
 
     corpus.write.mode("overwrite").parquet(f"{out_dir}/corpus")
     final = spark.read.parquet(f"{out_dir}/corpus")
