@@ -239,3 +239,70 @@ def test_registry_plan_lint_no_scale_killers(spark):
             assert "ArrowEvalPython" not in plan, name
             assert "MapInPandas" not in plan, name
             assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_corpus_pipeline_plan_shapes(spark):
+    """plans/corpus.py stage plans (design-for-100-TB audit): the quality
+    purge is a pure scan+filter (zero Exchange, no Python); the exact
+    purge is a map-side-combinable key aggregate + LEFT SEMI join; the
+    bucket-min near-dup fast path is partial_min + LEFT ANTI — no pair
+    materialization and no Python anywhere."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from universal_text_extractor_spark.functions.text_funcs import (
+        normalized_text_col,
+        token_count_col,
+    )
+    from universal_text_extractor_spark.operators.dedup import lsh_bands, md5_long
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, url=f"https://h{i}.ex/a", source="s", lang="en",
+                    text="some words here for the plan " * 5, n_chars=100)
+                for i in range(50)
+            ]
+        )
+        alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
+        q = docs.filter(
+            (token_count_col(F.col("text")) >= 15)
+            & (alpha / F.greatest(F.col("n_chars"), F.lit(1)) >= 0.5)
+        )
+        p = q._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange") == 0 and "Python" not in p
+
+        kept = (
+            docs.select(
+                "doc_id", md5_long(normalized_text_col(F.col("text"))).alias("k")
+            )
+            .groupBy("k")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        p = (
+            docs.join(kept, "doc_id", "left_semi")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "partial_min" in p and "LeftSemi" in p and "Python" not in p
+
+        bands = lsh_bands(docs)
+        bm = bands.groupBy("band", "bucket").agg(F.min("doc_id").alias("min_id"))
+        doomed = (
+            bands.join(bm, ["band", "bucket"])
+            .filter(F.col("doc_id") != F.col("min_id"))
+            .select("doc_id")
+            .distinct()
+        )
+        p = (
+            docs.join(doomed, "doc_id", "left_anti")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "partial_min" in p and "LeftAnti" in p and "Python" not in p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
