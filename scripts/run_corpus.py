@@ -15,7 +15,10 @@ import argparse
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True, help="pages parquet or WARC path")
+    ap.add_argument("--pages", default=None, help="pages parquet or WARC path")
+    ap.add_argument("--extracted", default=None,
+                    help="committed run_extraction output dir (skips the "
+                         "extraction stage; resumable runs happen there)")
     ap.add_argument("--out", required=True, help="output dir (corpus/ stats/)")
     ap.add_argument("--warc", action="store_true",
                     help="--pages points at .warc/.warc.gz archives")
@@ -44,17 +47,24 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.warc:
+    extracted = None
+    pages = None
+    if args.extracted:
+        extracted = spark.read.parquet(f"{args.extracted}/extracted")
+    elif args.warc:
         from universal_text_extractor_spark.sources.warc import read_warc
 
         pages = read_warc(spark, args.pages)
-    else:
+    elif args.pages:
         pages = spark.read.parquet(args.pages)
+    else:
+        ap.error("need --pages or --extracted")
 
     from universal_text_extractor_spark.plans.corpus import build_training_corpus
 
     stats = build_training_corpus(
         spark, pages, args.out,
+        extracted=extracted,
         min_alpha_ratio=args.min_alpha_ratio,
         min_tokens=args.min_tokens,
         lang_allow=args.lang,

@@ -107,3 +107,37 @@ def test_bucket_min_fast_path(spark, tmp_path):
         r["url"] for r in spark.read.parquet(f"{out}/corpus").select("url").collect()
     }
     assert "https://d.example/keep2.html" in urls and len(urls) == 2
+
+
+def test_corpus_from_committed_extraction(spark, tmp_path):
+    """The resume-friendly shape: a committed run_extraction output feeds
+    build_training_corpus(extracted=...) — identical corpus to the
+    one-shot path over the same pages."""
+    from universal_text_extractor_spark.plans.pipeline import run_extraction
+
+    pages = [
+        _page("https://a.example/keep1.html", _BASE + "unique tail one here today"),
+        _page("https://b.example/clone.html", _BASE + "unique tail one here today"),
+        _page(
+            "https://d.example/keep2.html",
+            "completely different content about spark partitioning and the "
+            "catalyst optimizer with broadcast joins and shuffle planning in "
+            "large distributed analytical engines running columnar scans",
+        ),
+    ]
+    df = spark.createDataFrame(
+        pages,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    run_dir = str(tmp_path / "run")
+    run_extraction(spark, df, run_dir, n_buckets=2, num_partitions=2)
+    extracted = spark.read.parquet(f"{run_dir}/extracted")
+
+    out_a = str(tmp_path / "from_run")
+    stats_a = build_training_corpus(spark, None, out_a, extracted=extracted)
+    out_b = str(tmp_path / "one_shot")
+    stats_b = build_training_corpus(spark, df, out_b, num_partitions=2)
+    assert stats_a == stats_b
+    ca = {r["url"] for r in spark.read.parquet(f"{out_a}/corpus").collect()}
+    cb = {r["url"] for r in spark.read.parquet(f"{out_b}/corpus").collect()}
+    assert ca == cb and "https://d.example/keep2.html" in ca

@@ -52,8 +52,9 @@ def frame_documents(extracted: DataFrame) -> DataFrame:
 
 def build_training_corpus(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | None,
     out_dir: str,
+    extracted: DataFrame | None = None,
     min_alpha_ratio: float = 0.81,
     min_tokens: int = 15,
     lang_allow: list[str] | None = None,
@@ -66,6 +67,12 @@ def build_training_corpus(
     """Run the full crawl→corpus pipeline; writes ``out_dir/corpus`` and
     ``out_dir/stats`` parquet, returns the stage-count dict.
 
+    ``extracted`` (a DataFrame of already-extracted rows, e.g.
+    ``spark.read.parquet(f"{run_dir}/extracted")`` from a committed
+    resumable :func:`..plans.pipeline.run_extraction` run) skips the
+    extraction stage — the expensive, resumable part happens once, and
+    corpus rebuilds with different thresholds reuse it.
+
     ``verify_jaccard=False`` switches the near-dup stage to the
     bucket-min kill: a document dies when any of its LSH band-buckets
     contains a lower doc_id — one map-combinable aggregate + one
@@ -76,12 +83,15 @@ def build_training_corpus(
     can kill a non-duplicate); production crawls take it at 100 TB,
     which is why it exists here. Default stays the exact verified path
     (``near_dup_threshold`` applies there)."""
-    extracted = extract_pages_fused(
-        pages,
-        num_partitions=num_partitions,
-        use_ocr=use_ocr,
-        main_content=main_content,
-    )
+    if extracted is None:
+        if pages is None:
+            raise ValueError("need pages or extracted")
+        extracted = extract_pages_fused(
+            pages,
+            num_partitions=num_partitions,
+            use_ocr=use_ocr,
+            main_content=main_content,
+        )
     docs = frame_documents(extracted).persist()
     stats = {"extracted_ok": docs.count()}
 
