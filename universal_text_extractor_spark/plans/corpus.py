@@ -92,7 +92,8 @@ def build_training_corpus(
             use_ocr=use_ocr,
             main_content=main_content,
         )
-    docs = frame_documents(extracted).persist()
+    base = frame_documents(extracted).persist()
+    docs = base
     stats = {"extracted_ok": docs.count()}
 
     if lang_allow:
@@ -106,7 +107,7 @@ def build_training_corpus(
         & (alpha / F.greatest(F.col("n_chars"), F.lit(1)) >= min_alpha_ratio)
     ).persist()
     stats["quality_kept"] = quality.count()
-    docs.unpersist()
+    base.unpersist()
 
     # exact dedup purge (dd7 shape: 8-byte key agg + LEFT SEMI back)
     kept_ids = (
