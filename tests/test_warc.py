@@ -131,3 +131,47 @@ def test_mixed_crawl_end_to_end(spark, tmp_path):
     assert "--- Page 1 ---" in out["https://m.example/enc.pdf"]["text"]
     # the gzip body extracted the inner HTML
     assert "crawl body" in out["https://m.example/page.html.gz"]["text"]
+
+
+def test_streaming_warc_ingestion(spark, tmp_path):
+    """read_warc_stream: archives arriving in a directory extract as a
+    stream, exactly-once across restarts (the availableNow + checkpoint
+    pattern the batch-parquet stream_extract uses)."""
+    from universal_text_extractor_spark.operators.extract import extract_pages_fused
+    from universal_text_extractor_spark.sources.warc import read_warc_stream
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (drop / "a.warc.gz").write_bytes(make_warc(RECS[:2]))
+
+    def run_once():
+        pages = read_warc_stream(spark, str(drop))
+        assert pages.isStreaming
+        q = (
+            extract_pages_fused(pages, num_partitions=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    got = {r["url"] for r in spark.read.parquet(out).select("url").collect()}
+    assert got == {u for u, _, _ in RECS[:2]}
+
+    # second archive arrives; restart processes ONLY the new file
+    (drop / "b.warc.gz").write_bytes(make_warc(RECS[2:]))
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert {r["url"] for r in rows} == {u for u, _, _ in RECS}
+    assert len(rows) == 3  # no duplicates: exactly-once via the checkpoint
+    by_url = {r["url"]: r for r in rows}
+    for u, _, b in RECS:
+        from universal_text_extractor_spark.kernels.dispatch import extract_payload
+
+        assert by_url[u]["text"] == extract_payload(u, b)[0]

@@ -139,13 +139,8 @@ def iter_warc_records(data: bytes, record_types: tuple[str, ...] = ("response",)
                 yield url, ts, payload
 
 
-def read_warc(spark, path: str, record_types: tuple[str, ...] = ("response",)):
-    """Distributed WARC read: ``path`` (file / dir / glob of .warc[.gz])
-    → pages DataFrame ``(url, warc_ts, html, text, lang)``. One task per
-    archive file (binaryFile source), records parsed Arrow-batched."""
+def _warc_parser(record_types: tuple[str, ...]):
     import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path).select("content")
 
     def parse(batches):
         for pdf in batches:
@@ -161,7 +156,37 @@ def read_warc(spark, path: str, record_types: tuple[str, ...] = ("response",)):
                         rows, columns=["url", "warc_ts", "html", "text", "lang"]
                     )
 
-    return files.mapInPandas(parse, PAGES_SCHEMA)
+    return parse
+
+
+def read_warc(spark, path: str, record_types: tuple[str, ...] = ("response",)):
+    """Distributed WARC read: ``path`` (file / dir / glob of .warc[.gz])
+    → pages DataFrame ``(url, warc_ts, html, text, lang)``. One task per
+    archive file (binaryFile source), records parsed Arrow-batched."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(_warc_parser(record_types), PAGES_SCHEMA)
+
+
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(
+    spark, path: str, record_types: tuple[str, ...] = ("response",)
+):
+    """Streaming variant: a directory where .warc.gz archives keep
+    arriving (a live crawl drop) → an unbounded pages stream for
+    streaming/stream_extract. Same parser, binaryFile file-stream source
+    (each new archive becomes one micro-batch input file; exactly-once
+    via the stream checkpoint, like every file source)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+        .select("content")
+    )
+    return files.mapInPandas(_warc_parser(record_types), PAGES_SCHEMA)
 
 
 # --- independent test-fixture writer --------------------------------------
