@@ -13,7 +13,11 @@ engine's existing scale-shaped operators.
 
 Scale notes: every stage reuses an operator whose plan shape was already
 audited for 100 TB (SURVEY.md §8) — the only additions here are LEFT
-SEMI joins that carry an 8-byte key, never document bytes. Near-dup
+SEMI joins that carry an 8-byte key, never document bytes. Memory: the
+quality/exact stages are cached (full text rows, MEMORY_AND_DISK) while
+the shingle explosion runs — size the JVM like any real Spark job
+(measured: 20k docs OOM a 1 GB local-mode default heap; comfortable at
+bench-style 16 g; see SURVEY §8c for walls). Near-dup
 purge semantics: a document dies when it is the HIGHER doc_id of any
 verified pair ≥ threshold (the standard keep-first rule; transitive
 closure is deliberately not computed — it needs an iterative
