@@ -3,9 +3,14 @@
 (plans/corpus.py): extraction → language ID → quality purge → exact
 dedup → MinHash near-dup purge → corpus + stats parquet.
 
-    spark-submit --py-files dist/utes.zip scripts/run_corpus.py \
+    spark-submit --driver-memory 16g --py-files dist/utes.zip \
+        scripts/run_corpus.py \
         --pages /data/crawl --warc --out /data/corpus_out \
         --lang en de fr --near-dup-threshold 0.7
+
+Size the JVM like any real Spark job — the dedup stages cache the
+quality/exact document sets while shingles explode (plans/corpus.py
+docstring has the measured guidance).
 """
 
 from __future__ import annotations
