@@ -239,3 +239,54 @@ def test_png_widened_round_trips():
         mut[pos] ^= 0xA5
         r = _decode_png(bytes(mut))
         assert r is None or isinstance(r, np.ndarray)
+
+
+def test_bmp_widened_round_trips():
+    """BMP beyond 24bpp BI_RGB: 32bpp, 8/4/1bpp palette, and BI_RLE8 /
+    BI_RLE4 runs — the classic clip-art/screenshot shapes. Lossless →
+    byte-exact vs the independent writer; corruption contained."""
+    import random
+
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.image_prep import _decode_bmp
+    from universal_text_extractor_spark.sources.pages_gen import make_bmp
+
+    rng = random.Random(7)
+    W, H = 23, 17
+    rgb = [
+        [(rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+         for _ in range(W)]
+        for _ in range(H)
+    ]
+    want = np.array(rgb, np.uint8)
+    for td in (False, True):
+        assert np.array_equal(_decode_bmp(make_bmp(rgb, top_down=td)), want)
+        assert np.array_equal(_decode_bmp(make_bmp(rgb, top_down=td, bpp=32)), want)
+    for bpp, ncol in ((8, 200), (4, 16), (1, 2)):
+        colors = [
+            (rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+            for _ in range(ncol)
+        ]
+        pix = [[rng.choice(colors) for _ in range(W)] for _ in range(H)]
+        for td in (False, True):
+            got = _decode_bmp(make_bmp(pix, top_down=td, bpp=bpp))
+            assert got is not None and np.array_equal(got, np.array(pix, np.uint8))
+    for bpp, ncol in ((8, 7), (4, 5)):
+        colors = [
+            (rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+            for _ in range(ncol)
+        ]
+        pix = [[rng.choice(colors)] * rng.randint(1, 4) for _ in range(H)]
+        pix = [(r * ((W // len(r)) + 1))[:W] for r in pix]
+        got = _decode_bmp(make_bmp(pix, bpp=bpp, rle=True))
+        assert got is not None and np.array_equal(got, np.array(pix, np.uint8))
+    for payload in (
+        make_bmp(rgb[:8], bpp=8),
+        make_bmp([[(1, 2, 3)] * 10] * 6, bpp=8, rle=True),
+    ):
+        for pos in range(2, len(payload), max(1, len(payload) // 30)):
+            mut = bytearray(payload)
+            mut[pos] ^= 0xA5
+            r = _decode_bmp(bytes(mut))
+            assert r is None or isinstance(r, np.ndarray)

@@ -15,7 +15,8 @@ Reference ancestry (re-expressed, not ported):
   both methods; ties resolve to the smaller angle).
 
 Decoders are hand-rolled from the public specs (no PIL): 24-bit BI_RGB
-BMP (bottom-up and top-down), and non-interlaced 8-bit PNG
+BMP (24/32bpp, 8/4/1bpp palette, RLE8/RLE4, both row orders) and PNG
+(palette, Adam7 interlace, 1-16-bit depths, gray+alpha)
 (grayscale/RGB/RGBA) with all five scanline filters. The synthetic corpus
 is produced by INDEPENDENT writers (``sources.pages_gen.make_bmp`` /
 ``make_png`` — own writer ≠ parser). Pixel math is numpy-vectorized; PNG
@@ -37,27 +38,124 @@ import numpy as np
 # ---------------------------------------------------------------- decode
 
 
+def _bmp_palette(b: bytes, bpp: int) -> np.ndarray | None:
+    """Color table after the BITMAPINFOHEADER: BGRA quads → (N, 3) RGB."""
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    clr_used = struct.unpack_from("<I", b, 46)[0] if len(b) >= 50 else 0
+    n = clr_used or (1 << bpp)
+    start = 14 + hdr_size
+    if start + 4 * n > len(b) or n > 256:
+        return None
+    quads = np.frombuffer(b, np.uint8, 4 * n, start).reshape(n, 4)
+    return quads[:, [2, 1, 0]].copy()  # BGR(A) → RGB
+
+
+def _bmp_rle(data: bytes, w: int, h: int, four_bit: bool) -> np.ndarray | None:
+    """RLE8/RLE4 (BI_RLE8/BI_RLE4) → (h, w) palette indices, bottom-up
+    row order as stored. Escapes: 0,0=EOL 0,1=EOB 0,2=delta; 0,n≥3 =
+    absolute run (word-aligned). Contained: malformed input → None."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if four_bit:
+                pair = [(val >> 4) & 0xF, val & 0xF]
+                for k in range(cnt):
+                    if x < w:
+                        out[y, x] = pair[k & 1]
+                        x += 1
+            else:
+                end = min(x + cnt, w)
+                out[y, x:end] = val
+                x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                return None
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal pixels
+            if four_bit:
+                nbytes = (val + 1) // 2
+                if i + nbytes > n:
+                    return None
+                for k in range(val):
+                    px = (data[i + k // 2] >> (4 if k % 2 == 0 else 0)) & 0xF
+                    if x < w and y < h:
+                        out[y, x] = px
+                        x += 1
+                i += nbytes + (nbytes & 1)  # word-align
+            else:
+                if i + val > n:
+                    return None
+                for k in range(val):
+                    if x < w and y < h:
+                        out[y, x] = data[i + k]
+                        x += 1
+                i += val + (val & 1)  # word-align
+    return out
+
+
 def _decode_bmp(b: bytes) -> np.ndarray | None:
-    """24bpp uncompressed BI_RGB → (H, W, 3) uint8 RGB."""
+    """BMP → (H, W, 3) uint8 RGB. Supported: 24/32bpp BI_RGB, 8/4/1bpp
+    palette BI_RGB, and BI_RLE8/BI_RLE4 runs (the classic clip-art/
+    screenshot shapes). Alpha dropped; anything else → None (D2)."""
     if len(b) < 54 or b[:2] != b"BM":
         return None
     data_off = struct.unpack_from("<I", b, 10)[0]
     w, h = struct.unpack_from("<ii", b, 18)
     planes, bpp = struct.unpack_from("<HH", b, 26)
     compression = struct.unpack_from("<I", b, 30)[0]
-    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+    if w <= 0 or h == 0 or w * abs(h) > 48_000_000:
         return None
     top_down = h < 0
     h = abs(h)
-    stride = (w * 3 + 3) & ~3
+    if compression in (1, 2):  # BI_RLE8 / BI_RLE4
+        if (compression == 1) != (bpp == 8) or top_down:
+            return None  # spec: RLE bitmaps are bottom-up, bpp matches
+        pal = _bmp_palette(b, bpp)
+        if pal is None:
+            return None
+        idx = _bmp_rle(b[data_off:], w, h, four_bit=(compression == 2))
+        if idx is None or int(idx.max()) >= pal.shape[0]:
+            return None
+        return pal[idx][::-1].copy()  # bottom-up → top-down
+    if compression != 0 or bpp not in (1, 4, 8, 24, 32):
+        return None
+    stride = ((w * bpp + 31) // 32) * 4
     need = data_off + stride * h
     if need > len(b):
         return None
     raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
-    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rows2 = raw.reshape(h, stride)
+    if bpp == 24:
+        rows = rows2[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    elif bpp == 32:
+        rows = rows2[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
+    else:  # palette depths
+        pal = _bmp_palette(b, bpp)
+        if pal is None:
+            return None
+        if bpp == 8:
+            idx = rows2[:, :w]
+        else:  # 1 or 4 bit, MSB-first
+            bits = np.unpackbits(rows2, axis=1)[:, : w * bpp].reshape(h, w, bpp)
+            weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+            idx = (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+        if int(idx.max()) >= pal.shape[0]:
+            return None
+        rows = pal[idx]
     if not top_down:
         rows = rows[::-1]
-    return rows[:, :, ::-1].copy()  # BGR → RGB
+    return np.ascontiguousarray(rows)
 
 
 def _png_chunks(b: bytes):

@@ -672,29 +672,89 @@ def _eml_doc(rng: random.Random) -> bytes:
     return "".join(parts).encode("utf-8")
 
 
-def make_bmp(pixels: list[list[tuple[int, int, int]]], top_down: bool = False) -> bytes:
-    """24bpp BI_RGB BMP writer (spec-based, independent of
-    kernels/image_prep.py's decoder). ``pixels`` is rows of (r, g, b),
-    row 0 = top."""
+def make_bmp(
+    pixels: list[list[tuple[int, int, int]]],
+    top_down: bool = False,
+    bpp: int = 24,
+    rle: bool = False,
+) -> bytes:
+    """BMP writer (spec-based, independent of kernels/image_prep.py's
+    decoder). ``pixels`` is rows of (r, g, b), row 0 = top. ``bpp``:
+    24 (default, byte-stable legacy layout), 32 (alpha 0xFF), 8/4/1
+    (palette built from unique colors); ``rle=True`` emits BI_RLE8/RLE4
+    runs (bottom-up, per spec; bpp must be 8 or 4)."""
     import struct as _st
 
     h = len(pixels)
     w = len(pixels[0]) if h else 0
-    stride = (w * 3 + 3) & ~3
-    body = bytearray()
-    for row in (pixels if top_down else reversed(pixels)):
-        rb = bytearray()
-        for r, g, b in row:
-            rb += bytes((b, g, r))
-        rb += b"\x00" * (stride - len(rb))
-        body += rb
-    data_off = 14 + 40
+    palette = b""
+    compression = 0
+    if bpp in (1, 4, 8):
+        uniq: dict[tuple[int, int, int], int] = {}
+        for row in pixels:
+            for px in row:
+                key = (int(px[0]), int(px[1]), int(px[2]))
+                if key not in uniq:
+                    uniq[key] = len(uniq)
+        if len(uniq) > (1 << bpp):
+            raise ValueError("palette too large for bpp")
+        pal = [(0, 0, 0)] * (1 << bpp)
+        for rgb, i in uniq.items():
+            pal[i] = rgb
+        palette = b"".join(bytes((c[2], c[1], c[0], 0)) for c in pal)
+        idx_rows = [
+            [uniq[(int(px[0]), int(px[1]), int(px[2]))] for px in row]
+            for row in pixels
+        ]
+        if rle:
+            if bpp not in (4, 8) or top_down:
+                raise ValueError("RLE is bottom-up 4/8bpp only")
+            compression = 1 if bpp == 8 else 2
+            body = bytearray()
+            for row in reversed(idx_rows):  # bottom-up storage
+                x = 0
+                while x < w:
+                    run = 1
+                    while x + run < w and row[x + run] == row[x] and run < 255:
+                        run += 1
+                    if bpp == 8:
+                        body += bytes((run, row[x]))
+                    else:
+                        body += bytes((run, (row[x] << 4) | row[x]))
+                    x += run
+                body += b"\x00\x00"  # end of line
+            body += b"\x00\x01"  # end of bitmap
+        else:
+            stride = ((w * bpp + 31) // 32) * 4
+            body = bytearray()
+            for row in (idx_rows if top_down else list(reversed(idx_rows))):
+                rb = bytearray(stride)
+                for i, v in enumerate(row):
+                    if bpp == 8:
+                        rb[i] = v
+                    else:
+                        bitpos = i * bpp
+                        rb[bitpos >> 3] |= (v & ((1 << bpp) - 1)) << (
+                            8 - bpp - (bitpos & 7)
+                        )
+                body += rb
+    else:
+        nch = {24: 3, 32: 4}[bpp]
+        stride = ((w * nch + 3) & ~3) if bpp == 24 else w * 4
+        body = bytearray()
+        for row in (pixels if top_down else reversed(pixels)):
+            rb = bytearray()
+            for r, g, b in row:
+                rb += bytes((b, g, r)) if bpp == 24 else bytes((b, g, r, 0xFF))
+            rb += b"\x00" * (stride - len(rb))
+            body += rb
+    data_off = 14 + 40 + len(palette)
     header = b"BM" + _st.pack("<IHHI", data_off + len(body), 0, 0, data_off)
     dib = _st.pack(
-        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, len(body),
-        2835, 2835, 0, 0,
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, compression,
+        len(body), 2835, 2835, len(palette) // 4 if palette else 0, 0,
     )
-    return header + dib + bytes(body)
+    return header + dib + palette + bytes(body)
 
 
 def make_png(
