@@ -112,3 +112,42 @@ def test_gzip_transparent_decompression(spark):
     out = extract_pages_fused(pages, num_partitions=2).collect()
     assert len(out) == 1 and out[0]["content_type"] == "gzip"
     assert out[0]["text"] == extract_payload("https://x/a.html", html, "html")[0]
+
+
+def test_xz_transparent_decompression(spark):
+    """xz payloads (.xz extension or the FD 37 7A 58 5A 00 magic) follow
+    the same transparent-decompression contract as gzip: detector-twin
+    parity, inner re-dispatch, one nesting level (in both directions),
+    bomb cap, corruption containment."""
+    import gzip as _g
+    import lzma
+
+    from pyspark.sql import Row
+
+    from universal_text_extractor_spark.kernels.dispatch import extract_payload
+
+    html = b"<html><head><title>T</title></head><body><p>xz body</p></body></html>"
+    xz = lzma.compress(html)
+    rows = [("https://x/a.html.xz", xz), ("https://x/blob", xz)]
+    df = spark.createDataFrame(
+        [Row(url=u, html=p) for u, p in rows]
+    ).withColumn("ct", content_type_col(F.col("url"), F.col("html")))
+    got = {r["url"]: r["ct"] for r in df.collect()}
+    for u, p in rows:
+        assert got[u] == detect_content_type(u, p) == "xz", u
+
+    t, _, s, _, logs = extract_payload("https://x/a.html.xz", xz, "xz")
+    assert t == extract_payload("https://x/a.html", html, "html")[0] and s
+    assert any("Decompressed xz payload" in l for l in logs)
+    # nesting stops at one level in both directions
+    assert "[Unsupported file type: unknown]" in extract_payload(
+        "https://x/a.xz", lzma.compress(_g.compress(html, mtime=0)), "xz"
+    )[0]
+    assert "[Unsupported file type: unknown]" in extract_payload(
+        "https://x/a.gz", _g.compress(xz, mtime=0), "gzip"
+    )[0]
+    bad = bytearray(xz)
+    bad[20] ^= 0xFF
+    t3, _, s3, _, _ = extract_payload("https://x/a.html.xz", bytes(bad), "xz")
+    assert t3.startswith("[Error extracting text:") and not s3
+    assert isinstance(extract_payload("https://x/a.html.xz", xz[:12], "xz")[0], str)

@@ -68,6 +68,7 @@ for _e in ("jpg", "jpeg", "png", "tiff", "tif", "bmp", "gif", "webp", "heic", "h
 # gzip-compressed bodies; the payload decompresses transparently and
 # re-dispatches (mirrored in functions/sniff.py — keep in sync)
 EXT_TO_TYPE["gz"] = "gzip"
+EXT_TO_TYPE["xz"] = "xz"
 
 # Types with a real kernel. Of the legacy OLE formats, xls (BIFF8) and msg
 # (MAPI) now parse for real (kernels/xls_kernel.py, msg_kernel.py); doc/ppt
@@ -75,7 +76,7 @@ EXT_TO_TYPE["gz"] = "gzip"
 IMPLEMENTED_TYPES = (
     "html", "xml", "txt", "pdf", "rtf", "csv", "eml", "image",
     "docx", "pptx", "xlsx", "ods", "odt", "odp", "epub",
-    "doc", "ppt", "xls", "msg", "gzip",
+    "doc", "ppt", "xls", "msg", "gzip", "xz",
 )
 
 # Dispatch-branch grouping for the Spark filter+union fan-out: one Arrow UDF
@@ -85,7 +86,7 @@ IMPLEMENTED_TYPES = (
 BRANCH_FAMILIES: dict[str, tuple[str, ...]] = {
     "html": ("html",),
     "pdf": ("pdf",),
-    "text": ("txt", "csv", "rtf", "eml", "xml", "gzip"),
+    "text": ("txt", "csv", "rtf", "eml", "xml", "gzip", "xz"),
     "office": (
         "docx", "pptx", "xlsx", "ods", "odt", "odp", "epub",
         "doc", "ppt", "xls", "msg",
@@ -124,6 +125,8 @@ def _sniff_magic(payload: bytes) -> str | None:
         return "rtf"
     if payload.startswith(b"\x1f\x8b"):
         return "gzip"
+    if payload.startswith(b"\xfd7zXZ\x00"):
+        return "xz"
     return None
 
 
@@ -271,6 +274,30 @@ def extract_payload(
 
             text, k_logs = extract_xls(payload or b"")
             logs.extend(k_logs)
+        elif file_type == "xz":
+            # same transparent-decompression contract as gzip (stdlib
+            # lzma; LZMADecompressor enforces the output cap)
+            import lzma as _lzma
+
+            dobj = _lzma.LZMADecompressor(format=_lzma.FORMAT_XZ)
+            inner = dobj.decompress(payload or b"", _GZIP_CAP)
+            if not dobj.eof and dobj.needs_input is False:
+                raise ValueError("xz payload exceeds decompression cap")
+            if not inner and not dobj.eof:
+                raise ValueError("xz stream empty or corrupt")
+            inner_url = url[:-3] if (url or "").lower().endswith(".xz") else url
+            inner_ct = detect_content_type(inner_url, inner)
+            if inner_ct in ("gzip", "xz"):
+                inner_ct = "unknown"  # one level only
+            logs.append(
+                f"Decompressed xz payload "
+                f"({len(payload or b'')} -> {len(inner)} bytes)"
+            )
+            text, ocr_used, _s, error, k_logs = extract_payload(
+                inner_url, inner, inner_ct,
+                use_ocr=use_ocr, main_content=main_content,
+            )
+            logs.extend(k_logs)
         elif file_type == "gzip":
             # transparent crawl-payload decompression (north-star
             # extension; the reference has no gzip path): gunzip with a
@@ -286,7 +313,7 @@ def extract_payload(
                 raise ValueError("gzip stream empty or corrupt")
             inner_url = url[:-3] if (url or "").lower().endswith(".gz") else url
             inner_ct = detect_content_type(inner_url, inner)
-            if inner_ct == "gzip":
+            if inner_ct in ("gzip", "xz"):
                 inner_ct = "unknown"  # one level only
             logs.append(
                 f"Decompressed gzip payload "
