@@ -151,3 +151,52 @@ def test_xz_transparent_decompression(spark):
     t3, _, s3, _, _ = extract_payload("https://x/a.html.xz", bytes(bad), "xz")
     assert t3.startswith("[Error extracting text:") and not s3
     assert isinstance(extract_payload("https://x/a.html.xz", xz[:12], "xz")[0], str)
+
+
+def test_gzip_multimember_truncation_and_tail():
+    """ADVICE r3: (a) concatenated gzip members must ALL decode — crawl
+    payloads are often member-concatenated like .warc.gz; (b) a truncated
+    stream must hit D2 containment (error literal), never enter the corpus
+    as clean partial text; (c) non-gzip trailing bytes after a complete
+    member are discarded with a log line."""
+    import gzip as _g
+
+    from universal_text_extractor_spark.kernels.dispatch import extract_payload
+
+    two = _g.compress(b"hello ", mtime=0) + _g.compress(b"world", mtime=0)
+    t, _, s, _, _ = extract_payload("https://x/a.txt.gz", two, "gzip")
+    assert t == "hello world" and s
+
+    gz = _g.compress(b"complete text body here", mtime=0)
+    t2, _, s2, err2, _ = extract_payload("https://x/a.txt.gz", gz[:-5], "gzip")
+    assert t2.startswith("[Error extracting text:") and not s2
+    assert "truncated" in (err2 or "")
+
+    t3, _, s3, _, logs3 = extract_payload(
+        "https://x/a.txt.gz", gz + b"not-gzip-tail", "gzip"
+    )
+    assert t3 == "complete text body here" and s3
+    assert any("trailing non-gzip bytes" in l for l in logs3)
+    # spec-legal zero padding stays silent
+    t4, _, s4, _, logs4 = extract_payload(
+        "https://x/a.txt.gz", gz + b"\x00" * 8, "gzip"
+    )
+    assert t4 == "complete text body here" and s4
+    assert not any("trailing" in l for l in logs4)
+
+
+def test_xz_multistream_and_truncation():
+    """xz twin of the gzip contract: concatenated streams all decode,
+    truncation raises into the error literal."""
+    import lzma
+
+    from universal_text_extractor_spark.kernels.dispatch import extract_payload
+
+    two = lzma.compress(b"alpha ") + lzma.compress(b"beta")
+    t, _, s, _, _ = extract_payload("https://x/a.txt.xz", two, "xz")
+    assert t == "alpha beta" and s
+
+    xz = lzma.compress(b"complete xz body")
+    t2, _, s2, err2, _ = extract_payload("https://x/a.txt.xz", xz[:-4], "xz")
+    assert t2.startswith("[Error extracting text:") and not s2
+    assert "truncated" in (err2 or "")

@@ -218,3 +218,48 @@ def test_hash_r6_structure():
     assert a != hash_r6(b"", b"SALTSALT")
     assert a != hash_r6(b"", b"saltsalt", b"udata")
     assert a == hash_r6(b"", b"saltsalt")  # deterministic
+
+
+def _minimal_pdf_with_string(s: bytes) -> bytes:
+    """Hand-built unencrypted PDF whose single page shows ``s`` in a
+    literal string (uncompressed content stream)."""
+    content = b"BT /F1 12 Tf 72 720 Td (" + s + b") Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, 1):
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    return bytes(out)
+
+
+def test_encrypt_marker_in_page_string_is_not_encryption():
+    """ADVICE r3 (medium): '/Encrypt N G R' bytes inside page CONTENT must
+    not flip the document to encrypted — only trailer-context /Encrypt
+    counts (classic trailer dict or /Type /XRef dict). The reference
+    (PyMuPDF) extracts such documents fine."""
+    pdf = _minimal_pdf_with_string(b"see /Encrypt 1 0 R marker in prose")
+    text = extract_pdf(pdf)[0]
+    assert text != CORRUPT_LITERAL
+    assert "see /Encrypt 1 0 R marker in prose" in text
+
+
+def test_id_marker_in_payload_does_not_poison_file_key():
+    """ADVICE r3 (low): an '/ID [<hex>]'-looking sequence outside the
+    trailer must not corrupt the file id used for key derivation — an
+    openable encrypted PDF stays openable."""
+    enc = _pdf_doc_pages(random.Random(11), 2, True, encrypt="rc4-128")
+    want = extract_pdf(enc)[0]
+    assert want != CORRUPT_LITERAL
+    # append a junk top-level object whose string carries both decoys;
+    # the object scan parses it, but trailer-scoped lookup ignores it
+    tampered = enc + (
+        b"\n99 0 obj\n(decoy /ID [<00112233445566778899aabbccddeeff>]"
+        b" and /Encrypt 99 0 R)\nendobj\n"
+    )
+    assert extract_pdf(tampered)[0] == want

@@ -104,6 +104,62 @@ _LEADING_WS_RE = re.compile(r"^[ \t\r\n\f]+")
 _GZIP_CAP = 128 * 1024 * 1024
 
 
+def _gunzip_members(payload: bytes, logs: list[str]) -> bytes:
+    """Decompress ALL concatenated gzip members under the shared bomb cap
+    (crawl payloads are often member-concatenated, like .warc.gz — the
+    single-member decompress silently dropped everything after member 1).
+    A TRUNCATED stream raises (D2 containment → error literal): at crawl
+    scale a cut-off document must not enter the corpus flagged clean with
+    partial text. Non-gzip trailing bytes after a complete member are
+    discarded with a log line (zero padding is spec-legal and silent)."""
+    import zlib as _zlib
+
+    out = bytearray()
+    data = payload
+    while True:
+        dobj = _zlib.decompressobj(wbits=31)
+        budget = _GZIP_CAP - len(out)
+        out += dobj.decompress(data, budget + 1)
+        if len(out) > _GZIP_CAP or dobj.unconsumed_tail:
+            raise ValueError("gzip payload exceeds decompression cap")
+        if not dobj.eof:
+            raise ValueError("gzip stream truncated or corrupt")
+        data = dobj.unused_data.lstrip(b"\x00")
+        if not data:
+            return bytes(out)
+        if not data.startswith(b"\x1f\x8b"):
+            logs.append(
+                f"Discarded {len(data)} trailing non-gzip bytes after "
+                "gzip member"
+            )
+            return bytes(out)
+
+
+def _unxz_streams(payload: bytes, logs: list[str]) -> bytes:
+    """xz twin of :func:`_gunzip_members`: all concatenated xz streams,
+    shared cap, truncation raises, non-xz tail discarded with a log."""
+    import lzma as _lzma
+
+    out = bytearray()
+    data = payload
+    while True:
+        dobj = _lzma.LZMADecompressor(format=_lzma.FORMAT_XZ)
+        budget = _GZIP_CAP - len(out)
+        out += dobj.decompress(data, budget + 1)
+        if len(out) > _GZIP_CAP:
+            raise ValueError("xz payload exceeds decompression cap")
+        if not dobj.eof:
+            raise ValueError("xz stream truncated or corrupt")
+        data = dobj.unused_data.lstrip(b"\x00")
+        if not data:
+            return bytes(out)
+        if not data.startswith(b"\xfd7zXZ\x00"):
+            logs.append(
+                f"Discarded {len(data)} trailing non-xz bytes after xz stream"
+            )
+            return bytes(out)
+
+
 def url_extension(url: str) -> str | None:
     m = _URL_EXT_RE.match(url or "")
     return m.group(1).lower() if m else None
@@ -275,16 +331,9 @@ def extract_payload(
             text, k_logs = extract_xls(payload or b"")
             logs.extend(k_logs)
         elif file_type == "xz":
-            # same transparent-decompression contract as gzip (stdlib
-            # lzma; LZMADecompressor enforces the output cap)
-            import lzma as _lzma
-
-            dobj = _lzma.LZMADecompressor(format=_lzma.FORMAT_XZ)
-            inner = dobj.decompress(payload or b"", _GZIP_CAP)
-            if not dobj.eof and dobj.needs_input is False:
-                raise ValueError("xz payload exceeds decompression cap")
-            if not inner and not dobj.eof:
-                raise ValueError("xz stream empty or corrupt")
+            # same transparent-decompression contract as gzip: all
+            # concatenated streams, shared bomb cap, truncation raises
+            inner = _unxz_streams(payload or b"", logs)
             inner_url = url[:-3] if (url or "").lower().endswith(".xz") else url
             inner_ct = detect_content_type(inner_url, inner)
             if inner_ct in ("gzip", "xz"):
@@ -300,17 +349,10 @@ def extract_payload(
             logs.extend(k_logs)
         elif file_type == "gzip":
             # transparent crawl-payload decompression (north-star
-            # extension; the reference has no gzip path): gunzip with a
-            # bomb cap, strip the .gz suffix, re-detect, dispatch once
-            # (no nested gzip recursion)
-            import zlib as _zlib
-
-            dobj = _zlib.decompressobj(wbits=31)
-            inner = dobj.decompress(payload or b"", _GZIP_CAP)
-            if dobj.unconsumed_tail:
-                raise ValueError("gzip payload exceeds decompression cap")
-            if not inner and not dobj.eof:
-                raise ValueError("gzip stream empty or corrupt")
+            # extension; the reference has no gzip path): gunzip ALL
+            # members with a bomb cap, strip the .gz suffix, re-detect,
+            # dispatch once (no nested gzip recursion)
+            inner = _gunzip_members(payload or b"", logs)
             inner_url = url[:-3] if (url or "").lower().endswith(".gz") else url
             inner_ct = detect_content_type(inner_url, inner)
             if inner_ct in ("gzip", "xz"):

@@ -187,8 +187,31 @@ def _parse_literal_string(b: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
-_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
-_FILE_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+_TRAILER_KW_RE = re.compile(rb"\btrailer\b")
+
+
+def _trailer_dicts(payload: bytes, objs):
+    """Every trailer-context dict in document order: classic
+    ``trailer << … >>`` keyword dicts plus ``/Type /XRef`` cross-reference
+    stream dicts (PDF 1.5+, which have no classic trailer). Scoping the
+    /Encrypt and /ID lookups to these dicts — instead of regex-scanning the
+    whole payload — keeps a document whose *content stream or string data*
+    happens to contain ``/Encrypt N G R`` or ``/ID [<…>`` bytes from being
+    misclassified as encrypted (PyMuPDF/the reference opens such documents
+    fine; whole-payload last-match-wins did not)."""
+    found: list[tuple[int, dict]] = []
+    for m in _TRAILER_KW_RE.finditer(payload):
+        try:
+            d, _end = _parse_obj(payload, m.end())
+        except Exception:
+            continue
+        if isinstance(d, dict):
+            found.append((m.start(), d))
+    for _num, (val, end) in objs.items():
+        if isinstance(val, dict) and val.get("/Type") == "/XRef":
+            found.append((end if isinstance(end, int) else 0, val))
+    found.sort(key=lambda t: t[0])
+    return [d for _pos, d in found]
 
 
 def _find_crypt(payload: bytes, objs, gens):
@@ -196,27 +219,23 @@ def _find_crypt(payload: bytes, objs, gens):
     the standard-security-handler decryptor (kernels/pdf_crypt.py). Returns
     None (unencrypted), a StdDecryptor (empty-user-password document — the
     kind PyMuPDF opens transparently, reference utils/file_handlers.py:262),
-    or UnsupportedEncryption. The regex scan matches the kernel's
-    no-xref-needed design: the LAST match wins (incremental updates)."""
-    m = None
-    for m in _ENCRYPT_REF_RE.finditer(payload):
-        pass
-    if m is None:
+    or UnsupportedEncryption. Incremental-update semantics: the LAST
+    trailer-context dict carrying each key wins."""
+    enc_ref = None
+    file_id = b""
+    for d in _trailer_dicts(payload, objs):
+        if "/Encrypt" in d:
+            enc_ref = d["/Encrypt"]
+        ids = d.get("/ID")
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            file_id = ids[0]
+    if enc_ref is None:
         return None
     from .pdf_crypt import UnsupportedEncryption, make_handler
 
-    entry = objs.get(int(m.group(1)))
-    enc = entry[0] if entry else None
+    enc = _resolve(objs, enc_ref)
     if not isinstance(enc, dict):
         return UnsupportedEncryption("unresolvable /Encrypt dict")
-    idm = None
-    for idm in _FILE_ID_RE.finditer(payload):
-        pass
-    file_id = b""
-    if idm is not None:
-        hx = re.sub(rb"[^0-9A-Fa-f]", b"", idm.group(1))
-        if len(hx) % 2 == 0:
-            file_id = bytes.fromhex(hx.decode("ascii"))
     return make_handler(enc, file_id, gens)
 
 
