@@ -5,6 +5,7 @@ binaryFile source, and end-to-end extraction from .warc.gz → text."""
 from __future__ import annotations
 
 import gzip as _gzip
+import io
 
 from universal_text_extractor_spark.sources.warc import (
     iter_warc_records,
@@ -175,3 +176,102 @@ def test_streaming_warc_ingestion(spark, tmp_path):
         from universal_text_extractor_spark.kernels.dispatch import extract_payload
 
         assert by_url[u]["text"] == extract_payload(u, b)[0]
+
+
+class _Trickle:
+    """File object returning at most ``step`` bytes per read — forces
+    every chunk-boundary path in the incremental reader."""
+
+    def __init__(self, data: bytes, step: int):
+        self._f = io.BytesIO(data)
+        self._step = step
+
+    def read(self, n=-1):
+        lim = self._step if n is None or n < 0 else min(n, self._step)
+        return self._f.read(lim)
+
+
+def test_warc_stream_reader_chunk_boundaries():
+    """Records split across arbitrary read boundaries parse identically
+    to the whole-buffer parse (headers, gzip magics, blocks all straddle
+    reads at step=7)."""
+    from universal_text_extractor_spark.sources.warc import (
+        iter_warc_records_stream,
+    )
+
+    for gz in (True, False):
+        data = make_warc(RECS, gz=gz)
+        want = list(iter_warc_records(data))
+        for step in (7, 64, 1 << 20):
+            got = list(iter_warc_records_stream(_Trickle(data, step)))
+            assert got == want, (gz, step)
+
+
+def test_warc_stream_reader_bounded_memory(tmp_path):
+    """r3 verdict item #1: parsing an archive much larger than any single
+    record must hold one record + one chunk, not the archive. 48 MiB of
+    records through the reader with a Python-alloc peak pinned far below
+    the archive size."""
+    import random
+    import tracemalloc
+
+    from universal_text_extractor_spark.sources.warc import (
+        _CHUNK,
+        iter_warc_records_stream,
+    )
+
+    rng = random.Random(7)
+    body = bytes(rng.randrange(256) for _ in range(256 * 1024))
+    recs = [
+        (f"https://big.example/{i}", "2024-01-01T00:00:00Z", body)
+        for i in range(192)
+    ]  # 192 * 256 KiB = 48 MiB decompressed
+    p = tmp_path / "big.warc.gz"
+    p.write_bytes(make_warc(recs, gz=True))
+    assert p.stat().st_size > 40 * 1024 * 1024  # random bodies don't compress
+
+    tracemalloc.start()
+    n = 0
+    with open(p, "rb") as f:
+        for url, _ts, payload in iter_warc_records_stream(f):
+            assert len(payload) == len(body)
+            n += 1
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 192
+    # one record (256 KiB) + one chunk (4 MiB) + slack — NOT 48 MiB
+    assert peak < 4 * _CHUNK, f"reader peak {peak/2**20:.1f} MiB not bounded"
+
+
+def test_warc_parser_emits_bounded_batches(monkeypatch):
+    """The task-side parser flushes Arrow batches at the row cap instead
+    of materializing one DataFrame per archive."""
+    import pandas as pd
+
+    from universal_text_extractor_spark.sources import warc as warc_mod
+
+    monkeypatch.setattr(warc_mod, "_BATCH_ROWS", 2)
+    recs = [
+        (f"https://b.example/{i}.txt", "2024-01-01T00:00:00Z", b"body %d" % i)
+        for i in range(5)
+    ]
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".warc.gz") as tf:
+        tf.write(make_warc(recs))
+        tf.flush()
+        parse = warc_mod._warc_path_parser(("response",))
+        out = list(parse(iter([pd.DataFrame({"path": [tf.name]})])))
+    assert [len(b) for b in out] == [2, 2, 1]
+    assert list(out[0]["url"]) == [u for u, _, _ in recs[:2]]
+
+
+def test_warc_rejects_remote_scheme():
+    from universal_text_extractor_spark.sources.warc import _local_path
+
+    import pytest
+
+    assert _local_path("file:/tmp/a.warc.gz") == "/tmp/a.warc.gz"
+    assert _local_path("/tmp/b.warc") == "/tmp/b.warc"
+    with pytest.raises(ValueError, match="local/file paths only"):
+        _local_path("s3a://bucket/crawl.warc.gz")

@@ -15,12 +15,17 @@ crawl archives. Scope is the Common Crawl layout (ISO 28500 WARC/1.0/1.1):
 - ``resource``/``conversion`` records: the block IS the payload
 - url ← WARC-Target-URI, warc_ts ← WARC-Date (ISO 8601)
 
-Scale design: one Spark task per WARC file (``binaryFile`` source →
-``mapInPandas`` parse), matching the Common Crawl layout of many ~1 GB
-files — parallelism comes from file count, exactly how a 1000-executor
-cluster consumes a crawl dump. The parser is a generator (bounded
-memory per record, not per archive) and malformed records are skipped
-with a per-file tolerance, never raised (D2 containment at the source).
+Scale design (reworked r4 per the r3 verdict): tasks receive archive
+*paths*, not archive bytes. Each task opens its file and feeds an
+incremental zlib decompressor, so per-task memory is one record + one
+I/O chunk — never the ~1 GB archive that the old one-Arrow-cell-per-file
+shape shipped JVM→Python before parsing could start (32 concurrent
+tasks ≈ 32 GB resident), and the ``binaryFile`` 2 GiB per-file cap no
+longer applies to archive CONTENT (the listing still uses binaryFile,
+with only ``path`` selected — file sizes drive partition packing, so a
+~1 GB archive naturally gets its own task). Parsed records are emitted
+in bounded Arrow batches (row + byte caps). Malformed records are
+skipped, never raised (D2 containment at the source).
 
 The test fixture writer :func:`make_warc` is an independent spec
 implementation (own header layout, per-record gzip members, mtime=0 for
@@ -31,37 +36,67 @@ from __future__ import annotations
 
 import io
 import zlib
-from datetime import datetime, timezone
+from datetime import datetime
 
 MAX_RECORD_BYTES = 256 * 1024 * 1024  # per-record containment bound
+_CHUNK = 4 * 1024 * 1024  # file-read / decompress granule
+_MAX_HEADER = 64 * 1024  # a WARC header block larger than this is garbage
+_BATCH_ROWS = 1024  # Arrow batch flush: row cap ...
+_BATCH_BYTES = 32 * 1024 * 1024  # ... and payload-byte cap
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
 
 
-def _gzip_members(data: bytes):
-    """Yield decompressed gzip members from a member-concatenated stream
-    (the Common Crawl .warc.gz layout). Non-gzip input yields itself."""
-    if not data.startswith(b"\x1f\x8b"):
-        yield data
+def _iter_decompressed(f):
+    """Yield decompressed chunks from a file object holding a plain or
+    member-concatenated-gzip stream (the Common Crawl .warc.gz layout).
+    Incremental: peak memory is O(_CHUNK), never the archive. A corrupt
+    tail stops the iteration, keeping the chunks already yielded."""
+    head = f.read(_CHUNK)
+    if not head.startswith(b"\x1f\x8b"):
+        while head:
+            yield head
+            head = f.read(_CHUNK)
         return
-    pos = 0
-    while pos < len(data) and data.startswith(b"\x1f\x8b", pos):
-        d = zlib.decompressobj(wbits=31)
+    d = zlib.decompressobj(wbits=31)
+    pending = head
+    while True:
+        if not pending:
+            pending = f.read(_CHUNK)
+            if not pending:
+                return
         try:
-            out = d.decompress(data[pos:], MAX_RECORD_BYTES)
+            out = d.decompress(pending, _CHUNK)
         except zlib.error:
-            return  # corrupt tail: keep the members already yielded
-        if d.unconsumed_tail or not d.eof:
-            if out:
-                yield out  # truncated final member: keep what decoded
-            return
-        yield out
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
-            return
-        pos += consumed
+            return  # corrupt member: keep what already decoded
+        pending = d.unconsumed_tail
+        if out:
+            yield out
+        if d.eof:
+            # next member starts in unused_data (zero padding is legal);
+            # a partial gzip magic split across reads is fine — the fresh
+            # decompressobj buffers it until the next file chunk arrives
+            pending = d.unused_data.lstrip(b"\x00")
+            d = zlib.decompressobj(wbits=31)
+
+
+def _parse_warc_header(raw: bytes):
+    """WARC header block (sans trailing CRLFCRLF) → (fields, length) or
+    None when malformed / length out of bounds."""
+    try:
+        lines = raw.decode("latin-1").split("\r\n")
+        fields = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        length = int(fields.get("content-length", "-1"))
+    except Exception:
+        return None
+    if length < 0 or length > MAX_RECORD_BYTES:
+        return None
+    return fields, length
 
 
 def _parse_http_response(block: bytes) -> bytes:
@@ -94,77 +129,128 @@ def _parse_http_response(block: bytes) -> bytes:
     return body
 
 
+def _to_record(fields: dict, block: bytes, record_types: tuple[str, ...]):
+    """(header fields, raw block) → (url, ts, payload) or None (filtered
+    record type / missing url)."""
+    rtype = fields.get("warc-type", "")
+    if rtype not in record_types:
+        return None
+    url = fields.get("warc-target-uri", "")
+    if not url:
+        return None
+    ts = None
+    raw_ts = fields.get("warc-date", "")
+    try:
+        ts = datetime.fromisoformat(raw_ts.replace("Z", "+00:00"))
+    except ValueError:
+        ts = None
+    payload = _parse_http_response(block) if rtype == "response" else block
+    return url, ts, payload
+
+
+def _drain(buf: bytearray, record_types: tuple[str, ...], at_eof: bool):
+    """Parse every COMPLETE record out of ``buf`` (mutated: consumed
+    bytes are dropped, an in-flight record's prefix is retained). With
+    ``at_eof`` a truncated final block is emitted as-is."""
+    out = []
+    pos = 0
+    n = len(buf)
+    while True:
+        h = buf.find(b"WARC/", pos)
+        if h < 0:
+            pos = max(pos, n - 8)  # keep a tail that may hold a split magic
+            break
+        hdr_end = buf.find(b"\r\n\r\n", h)
+        if hdr_end < 0:
+            if n - h > _MAX_HEADER:
+                pos = h + 5  # runaway "header": skip this marker
+                continue
+            pos = h  # wait for more input
+            break
+        parsed = _parse_warc_header(bytes(buf[h:hdr_end]))
+        if parsed is None:
+            pos = hdr_end + 4
+            continue
+        fields, length = parsed
+        end = hdr_end + 4 + length
+        if end > n:
+            if not at_eof:
+                pos = h  # record incomplete: wait for more input
+                break
+            end = n  # truncated archive tail: emit what decoded
+        block = bytes(buf[hdr_end + 4 : end])
+        pos = end
+        rec = _to_record(fields, block, record_types)
+        if rec is not None:
+            out.append(rec)
+    del buf[: max(pos, 0)]
+    return out
+
+
+def iter_warc_records_stream(f, record_types: tuple[str, ...] = ("response",)):
+    """Yield ``(url, warc_ts | None, payload)`` from a WARC archive FILE
+    OBJECT, incrementally: peak memory is one record + one chunk, never
+    the archive. Malformed records are skipped; never raises."""
+    buf = bytearray()
+    for chunk in _iter_decompressed(f):
+        buf += chunk
+        yield from _drain(buf, record_types, at_eof=False)
+    yield from _drain(buf, record_types, at_eof=True)
+
+
 def iter_warc_records(data: bytes, record_types: tuple[str, ...] = ("response",)):
-    """Yield ``(url, warc_ts | None, payload)`` from one WARC archive's
-    bytes. Malformed records are skipped; never raises."""
-    for member in _gzip_members(data):
-        pos = 0
-        n = len(member)
-        while pos < n:
-            head = member.find(b"WARC/", pos)
-            if head < 0:
-                break
-            hdr_end = member.find(b"\r\n\r\n", head)
-            if hdr_end < 0:
-                break
-            try:
-                lines = member[head:hdr_end].decode("latin-1").split("\r\n")
-                fields = {}
-                for ln in lines[1:]:
-                    k, _, v = ln.partition(":")
-                    fields[k.strip().lower()] = v.strip()
-                length = int(fields.get("content-length", "-1"))
-            except Exception:
-                pos = hdr_end + 4
-                continue
-            if length < 0 or length > MAX_RECORD_BYTES:
-                pos = hdr_end + 4
-                continue
-            block = member[hdr_end + 4 : hdr_end + 4 + length]
-            pos = hdr_end + 4 + length
-            rtype = fields.get("warc-type", "")
-            if rtype not in record_types:
-                continue
-            url = fields.get("warc-target-uri", "")
-            ts = None
-            raw_ts = fields.get("warc-date", "")
-            try:
-                ts = datetime.fromisoformat(raw_ts.replace("Z", "+00:00"))
-            except ValueError:
-                ts = None
-            payload = (
-                _parse_http_response(block) if rtype == "response" else block
-            )
-            if url:
-                yield url, ts, payload
+    """Byte-buffer convenience wrapper over the streaming parser."""
+    yield from iter_warc_records_stream(io.BytesIO(data), record_types)
 
 
-def _warc_parser(record_types: tuple[str, ...]):
+def _local_path(uri: str) -> str:
+    """binaryFile path URI → an os.open-able local path. Non-local
+    schemes hard-fail with a clear message (same local-FS-only policy as
+    plans/storage.py — plug a DFS-capable opener here for object-store
+    crawls; a posix-mounted DFS works as-is)."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri)
+    if p.scheme in ("", "file"):
+        return unquote(p.path) or uri
+    raise ValueError(
+        f"read_warc opens archives task-side from local/file paths only, got {uri!r}"
+    )
+
+
+def _warc_path_parser(record_types: tuple[str, ...]):
     import pandas as pd
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
 
     def parse(batches):
         for pdf in batches:
-            for data in pdf["content"]:
-                rows = [
-                    (url, ts, bytes(payload), "", "")
-                    for url, ts, payload in iter_warc_records(
-                        bytes(data), record_types
-                    )
-                ]
+            for uri in pdf["path"]:
+                rows: list[tuple] = []
+                nbytes = 0
+                with open(_local_path(str(uri)), "rb") as f:
+                    for url, ts, payload in iter_warc_records_stream(
+                        f, record_types
+                    ):
+                        rows.append((url, ts, payload, "", ""))
+                        nbytes += len(payload)
+                        if len(rows) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, nbytes = [], 0
                 if rows:
-                    yield pd.DataFrame(
-                        rows, columns=["url", "warc_ts", "html", "text", "lang"]
-                    )
+                    yield pd.DataFrame(rows, columns=cols)
 
     return parse
 
 
 def read_warc(spark, path: str, record_types: tuple[str, ...] = ("response",)):
     """Distributed WARC read: ``path`` (file / dir / glob of .warc[.gz])
-    → pages DataFrame ``(url, warc_ts, html, text, lang)``. One task per
-    archive file (binaryFile source), records parsed Arrow-batched."""
-    files = spark.read.format("binaryFile").load(path).select("content")
-    return files.mapInPandas(_warc_parser(record_types), PAGES_SCHEMA)
+    → pages DataFrame ``(url, warc_ts, html, text, lang)``. The listing
+    distributes archive PATHS (binaryFile source, only ``path`` selected
+    — content is never shipped through the JVM); each task streams its
+    file record-at-a-time with bounded memory."""
+    files = spark.read.format("binaryFile").load(path).select("path")
+    return files.mapInPandas(_warc_path_parser(record_types), PAGES_SCHEMA)
 
 
 _BINARY_FILE_SCHEMA = (
@@ -177,16 +263,17 @@ def read_warc_stream(
 ):
     """Streaming variant: a directory where .warc.gz archives keep
     arriving (a live crawl drop) → an unbounded pages stream for
-    streaming/stream_extract. Same parser, binaryFile file-stream source
-    (each new archive becomes one micro-batch input file; exactly-once
-    via the stream checkpoint, like every file source)."""
+    streaming/stream_extract. Same path-streaming parser, binaryFile
+    file-stream source (each new archive becomes one micro-batch input
+    file; exactly-once via the stream checkpoint, like every file
+    source)."""
     files = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
         .load(path)
-        .select("content")
+        .select("path")
     )
-    return files.mapInPandas(_warc_parser(record_types), PAGES_SCHEMA)
+    return files.mapInPandas(_warc_path_parser(record_types), PAGES_SCHEMA)
 
 
 # --- independent test-fixture writer --------------------------------------
