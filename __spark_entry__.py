@@ -188,8 +188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from rows-only to a full integer-exact DuckDB oracle that
         # recomputes the pixel math from the WRITER-side pixel ground
         # truth (_m3_oracle_sql) ---
+        # n=4000: wide enough that every header format the kernel parses —
+        # incl. the r4 WebP variants (VP8X / 'VP8 ' / VP8L) and HEIC/HEIF
+        # brands — appears in the sample, so the oracle exercises them all
         "m1_media_metadata": lambda s, d: M.media_metadata(
-            _pages_sample(s), payload_col="html"
+            _pages_sample(s, 4000), payload_col="html"
         ),
         "m3_image_prep_profile": lambda s, d: M.image_prep_profile(
             _media_sample(s)
@@ -385,17 +388,22 @@ def _u16be(i) -> str:
     return f"({_byte(i)} * 256 + {_byte(f'{i}+1' if isinstance(i, str) else i + 1)})"
 
 
-def _m1_oracle_sql(n: int = 500) -> str:
+def _m1_oracle_sql(n: int = 4000) -> str:
     """Full-hash oracle for m1 (VERDICT.md item 10): the header-parse half
     of media_metadata is deterministic and SQL-expressible, so DuckDB
     re-derives format/width/height from RAW PAYLOAD BYTES — fixed-offset
-    fields for PNG/GIF/BMP and a recursive-CTE marker scan for JPEG that
-    mirrors kernels.image_kernel._jpeg_size step for step.
+    fields for PNG/GIF/BMP, a recursive-CTE marker scan for JPEG that
+    mirrors kernels.image_kernel._jpeg_size step for step, and (r4)
+    RIFF-WebP variant fields (VP8X 24-bit LE canvas, 'VP8 ' 14-bit LE
+    frame dims behind the 9D 01 2A start code, VP8L packed 14-bit) plus
+    the ISOBMFF HEIC/HEIF 'ispe' box (located by aligned hex strpos;
+    u32be width/height at +8/+12 past the box type).
 
-    Input: a (url, prefix[64], n_bytes) parquet written HERE with pyarrow
+    Input: a (url, prefix[128], n_bytes) parquet written HERE with pyarrow
     straight from the index-pure page generator (no Spark involved) — the
-    same role the sf testdata parquet plays for every other oracle. 64
-    bytes covers every fixed-offset field and the corpus JPEGs' SOF0.
+    same role the sf testdata parquet plays for every other oracle. 128
+    bytes covers every fixed-offset field, the corpus JPEGs' SOF0, and
+    the writer-side heic ispe box (ends at byte 105).
     """
     import pathlib
 
@@ -412,7 +420,7 @@ def _m1_oracle_sql(n: int = 500) -> str:
         pa.table(
             {
                 "url": [r["url"] for r in rows],
-                "prefix": [(r["html"] or b"")[:64] for r in rows],
+                "prefix": [(r["html"] or b"")[:128] for r in rows],
                 "n_bytes": [len(r["html"] or b"") for r in rows],
             },
             schema=pa.schema(
@@ -431,6 +439,47 @@ def _m1_oracle_sql(n: int = 500) -> str:
     )
     is_bmp = "substr(hx,1,4) = '424D' AND plen >= 26"
     has_jpeg_magic = "substr(hx,1,6) = 'FFD8FF'"
+    # RIFF....WEBP + chunk fourcc (VP8X / 'VP8 ' / VP8L)
+    is_webp = "substr(hx,1,8) = '52494646' AND substr(hx,17,8) = '57454250'"
+    cc = "substr(hx,25,8)"
+    webp_w = (
+        f"CASE WHEN {cc} = '56503858' AND plen >= 30 "
+        f"THEN 1 + {_byte(25)} + {_byte(26)}*256 + {_byte(27)}*65536 "
+        f"WHEN {cc} = '56503820' AND plen >= 30 AND substr(hx,47,6) = '9D012A' "
+        f"THEN ({_byte(27)} + {_byte(28)}*256) % 16384 "
+        f"WHEN {cc} = '5650384C' AND plen >= 25 AND substr(hx,41,2) = '2F' "
+        f"THEN {_byte(22)} + ({_byte(23)} % 64)*256 + 1 END"
+    )
+    webp_h = (
+        f"CASE WHEN {cc} = '56503858' AND plen >= 30 "
+        f"THEN 1 + {_byte(28)} + {_byte(29)}*256 + {_byte(30)}*65536 "
+        f"WHEN {cc} = '56503820' AND plen >= 30 AND substr(hx,47,6) = '9D012A' "
+        f"THEN ({_byte(29)} + {_byte(30)}*256) % 16384 "
+        f"WHEN {cc} = '5650384C' AND plen >= 25 AND substr(hx,41,2) = '2F' "
+        f"THEN ({_byte(23)} // 64) + {_byte(24)}*4 + ({_byte(25)} % 16)*1024 + 1 END"
+    )
+    # ISOBMFF ftyp + HEIC/HEIF brand; ispe box located by byte-aligned hex
+    # strpos ('ispe' = 69737065), width/height u32be at +8/+12 past the type
+    is_heic = (
+        "substr(hx,9,8) = '66747970' AND substr(hx,17,8) IN "
+        "('68656963','68656978','68656966','6D696631','6D736631')"
+    )
+    heic_ok = (
+        f"({is_heic}) AND (strpos(hx,'69737065') % 2) = 1 "
+        "AND ip > 0 AND ip + 15 <= plen"
+    )
+    heic_w = (
+        f"{_byte('ip+8')}*16777216 + {_byte('ip+9')}*65536 "
+        f"+ {_byte('ip+10')}*256 + {_byte('ip+11')}"
+    )
+    heic_h = (
+        f"{_byte('ip+12')}*16777216 + {_byte('ip+13')}*65536 "
+        f"+ {_byte('ip+14')}*256 + {_byte('ip+15')}"
+    )
+    heic_fmt = (
+        "CASE WHEN substr(hx,17,8) IN ('68656966','6D736631') "
+        "THEN 'HEIF' ELSE 'HEIC' END"
+    )
     # little-endian signed int32 at 1-based offset i
     le32 = (
         lambda i: f"(CASE WHEN {_byte(i + 3)} >= 128 THEN -4294967296 ELSE 0 END"
@@ -451,7 +500,8 @@ def _m1_oracle_sql(n: int = 500) -> str:
     )
     return (
         "WITH RECURSIVE "
-        f"p AS (SELECT url, hex(prefix) AS hx, n_bytes, octet_length(prefix) AS plen "
+        f"p AS (SELECT url, hex(prefix) AS hx, n_bytes, octet_length(prefix) AS plen, "
+        f"(strpos(hex(prefix),'69737065') + 1) // 2 AS ip "
         f"FROM read_parquet('{path}')), "
         f"jp AS (SELECT * FROM p WHERE {has_jpeg_magic} "
         f"AND NOT ({is_png}) AND NOT ({is_gif}) AND NOT ({is_bmp})), "
@@ -471,15 +521,22 @@ def _m1_oracle_sql(n: int = 500) -> str:
         "jfound AS (SELECT url, max(h) AS h, max(w) AS w FROM scan WHERE done GROUP BY url) "
         "SELECT p.url, "
         f"CASE WHEN {is_png} THEN 'PNG' WHEN {is_gif} THEN 'GIF' "
-        f"WHEN {is_bmp} THEN 'BMP' WHEN jf.w IS NOT NULL THEN 'JPEG' "
+        f"WHEN {is_bmp} THEN 'BMP' "
+        f"WHEN ({is_webp}) AND ({webp_w}) IS NOT NULL THEN 'WEBP' "
+        f"WHEN {heic_ok} THEN {heic_fmt} "
+        "WHEN jf.w IS NOT NULL THEN 'JPEG' "
         "ELSE 'unknown' END AS format, "
         f"CAST(CASE WHEN {is_png} THEN {u32be(17)} "
         f"WHEN {is_gif} THEN {_byte(7)} + {_byte(8)} * 256 "
         f"WHEN {is_bmp} THEN {le32(19)} "
+        f"WHEN ({is_webp}) THEN ({webp_w}) "
+        f"WHEN {heic_ok} THEN {heic_w} "
         "ELSE jf.w END AS INT) AS width, "
         f"CAST(CASE WHEN {is_png} THEN {u32be(21)} "
         f"WHEN {is_gif} THEN {_byte(9)} + {_byte(10)} * 256 "
         f"WHEN {is_bmp} THEN abs({le32(23)}) "
+        f"WHEN ({is_webp}) THEN ({webp_h}) "
+        f"WHEN {heic_ok} THEN {heic_h} "
         "ELSE jf.h END AS INT) AS height, "
         "CAST(p.n_bytes AS BIGINT) AS n_bytes "
         "FROM p LEFT JOIN jfound jf USING (url)"

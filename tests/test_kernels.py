@@ -285,3 +285,51 @@ def test_pdf_contents_array_is_one_stream():
     out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
     text, _, logs = extract_pdf(bytes(out))
     assert "HI" in text, (text, logs)
+
+
+def test_webp_heic_header_metadata():
+    """r3 verdict missing #1: WebP (all three header variants) and
+    HEIC/HEIF dims from plain header fields — no entropy decode. Writer
+    (pages_gen) and parser (image_kernel) are independent spec
+    implementations; malformed variants fall back to the bare literal."""
+    from universal_text_extractor_spark.kernels.dispatch import (
+        detect_content_type,
+        extract_payload,
+    )
+    from universal_text_extractor_spark.kernels.image_kernel import (
+        parse_image_header,
+    )
+    from universal_text_extractor_spark.sources.pages_gen import (
+        make_heic,
+        make_webp,
+    )
+
+    for variant in ("vp8x", "vp8", "vp8l"):
+        b = make_webp(321, 9876, variant, tail=b"\x5a" * 40)
+        assert parse_image_header(b) == (321, 9876, "WEBP"), variant
+        assert detect_content_type("https://x/blob", b) == "image"
+        t, _, s, _, _ = extract_payload("https://x/p.webp", b, "image")
+        assert t.startswith("[Image: 321x9876, Format: WEBP]") and s
+
+    for brand, fmt in (
+        (b"heic", "HEIC"), (b"heix", "HEIC"), (b"mif1", "HEIC"),
+        (b"heif", "HEIF"), (b"msf1", "HEIF"),
+    ):
+        b = make_heic(640, 480, brand, tail=b"q" * 16)
+        assert parse_image_header(b) == (640, 480, fmt), brand
+        assert detect_content_type("https://x/blob", b) == "image"
+        t, _, s, _, _ = extract_payload("https://x/p.heic", b, "image")
+        assert t.startswith(f"[Image: 640x480, Format: {fmt}]") and s
+
+    # malformed: bad VP8 start code, unknown RIFF chunk, truncated heic,
+    # non-heif brand — all fall to the bare no-OCR literal, never raise
+    vp8 = bytearray(make_webp(100, 100, "vp8"))
+    vp8[23] ^= 0xFF
+    for bad in (
+        bytes(vp8),
+        b"RIFF\x10\x00\x00\x00WEBPJUNK" + b"\x00" * 20,
+        make_heic(10, 10)[:20],
+        b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 40,
+    ):
+        t, _, _, err, _ = extract_payload("https://x/blob", bad, "image")
+        assert t == "[Image file - OCR not enabled]" and err is None, bad[:16]

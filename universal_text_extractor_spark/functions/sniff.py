@@ -7,7 +7,8 @@ locks it over the full synthetic corpus):
 
 1. url extension lookup against the reference taxonomy
    (reference utils/file_handlers.py:94-145)
-2. magic bytes: %PDF / PNG / GIF / JPEG / BMP / {\\rtf / gzip (1F 8B) / xz (FD 37 7A 58 5A 00)
+2. magic bytes: %PDF / PNG / GIF / JPEG / BMP / RIFF-WebP / ftyp-HEIC-HEIF
+   / {\\rtf / gzip (1F 8B) / xz (FD 37 7A 58 5A 00)
 3. markup prefix (first 256 bytes, leading-ws-stripped, lowercased):
    <?xml → xml; <!doctype html | <html | <head | <body → html
 4. plain-text byte rule: no control byte besides tab/LF/CR in the first 256
@@ -49,6 +50,17 @@ def content_type_col(url: Column, html: Column) -> Column:
         | _magic(html, b"GIF89a")
         | _magic(html, b"\xff\xd8\xff")
         | _magic(html, b"BM")
+        | (_magic(html, b"RIFF") & (F.substring(html, 9, 4) == F.lit(b"WEBP")))
+        | (
+            (F.substring(html, 5, 4) == F.lit(b"ftyp"))
+            & (
+                (F.substring(html, 9, 4) == F.lit(b"heic"))
+                | (F.substring(html, 9, 4) == F.lit(b"heix"))
+                | (F.substring(html, 9, 4) == F.lit(b"heif"))
+                | (F.substring(html, 9, 4) == F.lit(b"mif1"))
+                | (F.substring(html, 9, 4) == F.lit(b"msf1"))
+            )
+        )
     )
     prefix = F.lower(
         F.regexp_replace(F.substring(html, 1, 256).cast("string"), _LEADING_WS_RE, "")

@@ -175,6 +175,11 @@ def _sniff_magic(payload: bytes) -> str | None:
         or payload.startswith(b"GIF89a")
         or payload.startswith(b"\xff\xd8\xff")
         or payload.startswith(b"BM")
+        or (payload.startswith(b"RIFF") and payload[8:12] == b"WEBP")
+        or (
+            payload[4:8] == b"ftyp"
+            and payload[8:12] in (b"heic", b"heix", b"heif", b"mif1", b"msf1")
+        )
     ):
         return "image"
     if payload.startswith(b"{\\rtf"):

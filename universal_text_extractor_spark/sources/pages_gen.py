@@ -2201,6 +2201,56 @@ def generate_media_df(spark, n: int, seed: int = _SEED_DEFAULT):
     )
 
 
+def make_webp(w: int, h: int, variant: str = "vp8x", tail: bytes = b"") -> bytes:
+    """Independent RIFF/WebP header writer (writer ≠ parser, like every
+    kernel): VP8X extended header (24-bit LE canvas minus-one), 'VP8 '
+    lossy frame header (9D 01 2A start code + 14-bit LE dims), or VP8L
+    (0x2F signature + packed 14-bit minus-one dims)."""
+    if variant == "vp8x":
+        chunk = (
+            b"VP8X" + (10).to_bytes(4, "little")
+            + bytes([0, 0, 0, 0])
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        )
+    elif variant == "vp8":
+        data = (
+            b"\x00\x00\x00"  # frame tag (keyframe, version 0, show)
+            + b"\x9d\x01\x2a"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + tail
+        )
+        chunk = b"VP8 " + len(data).to_bytes(4, "little") + data
+    elif variant == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)
+        data = b"\x2f" + bits.to_bytes(4, "little") + tail
+        chunk = b"VP8L" + len(data).to_bytes(4, "little") + data
+    else:
+        raise ValueError(variant)
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def make_heic(w: int, h: int, brand: bytes = b"heic", tail: bytes = b"") -> bytes:
+    """Independent ISOBMFF HEIC/HEIF writer: ftyp + meta(FullBox) →
+    hdlr('pict') → iprp → ipco → ispe(width, height). Spec box layout,
+    not a copy of the kernel's walk."""
+
+    def box(typ: bytes, content: bytes) -> bytes:
+        return (8 + len(content)).to_bytes(4, "big") + typ + content
+
+    ftyp = box(b"ftyp", brand + (0).to_bytes(4, "big") + brand + b"mif1")
+    hdlr = box(
+        b"hdlr", (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + b"pict" + b"\x00" * 12 + b"\x00"
+    )
+    ispe = box(
+        b"ispe", (0).to_bytes(4, "big")
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+    )
+    iprp = box(b"iprp", box(b"ipco", ispe))
+    meta = box(b"meta", (0).to_bytes(4, "big") + hdlr + iprp)
+    return ftyp + meta + (box(b"mdat", tail) if tail else b"")
+
+
 def _image_doc(rng: random.Random) -> bytes:
     import struct as _struct
 
@@ -2223,6 +2273,15 @@ def _image_doc(rng: random.Random) -> bytes:
             + _struct.pack(">HH", h % 65536, w % 65536) + b"\x03" + b"\x00" * 9
             + body + b"\xff\xd9"
         )
+    # r4: the former 10% corrupt tail subdivides — webp/heic carved from
+    # kind ∈ [0.9, 0.97) so every page with kind < 0.9 keeps identical
+    # bytes (the index-pure corpus stays stable for existing rows)
+    if kind < 0.94:  # WebP (all three header variants)
+        variant = ("vp8x", "vp8", "vp8l")[rng.randint(0, 2)]
+        return make_webp(w % 16384, h % 16384, variant, tail=body[:64])
+    if kind < 0.97:  # HEIC/HEIF
+        brand = (b"heic", b"heif", b"mif1")[rng.randint(0, 2)]
+        return make_heic(w, h, brand, tail=body[:64])
     return b"\xff\xd8\xff\x00" + body[:8]  # corrupt JPEG → literal fallback
 
 
