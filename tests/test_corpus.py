@@ -141,3 +141,40 @@ def test_corpus_from_committed_extraction(spark, tmp_path):
     ca = {r["url"] for r in spark.read.parquet(f"{out_a}/corpus").collect()}
     cb = {r["url"] for r in spark.read.parquet(f"{out_b}/corpus").collect()}
     assert ca == cb and "https://d.example/keep2.html" in ca
+
+
+def test_stage_scratch_cleaned_and_no_caching(spark, tmp_path):
+    """r3 verdict item #3: stage boundaries are parquet spills, not
+    executor-memory caches — out_dir ends with only corpus/stats, and the
+    module holds no persist()/cache() calls (stage memory must stay
+    independent of corpus size)."""
+    import inspect
+    import random
+
+    from pyspark.sql import Row
+
+    from universal_text_extractor_spark.plans import corpus as corpus_mod
+
+    src = inspect.getsource(corpus_mod)
+    assert ".persist(" not in src and ".cache(" not in src
+
+    rng = random.Random(3)
+    words = ("alpha beta gamma delta epsilon zeta eta theta".split())
+    pages = [
+        Row(
+            url=f"https://s.example/{i}.txt",
+            warc_ts=None,
+            html=(" ".join(rng.choices(words, k=40))).encode(),
+            text="",
+            lang="en",
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        pages,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = tmp_path / "staged"
+    build_training_corpus(spark, df, str(out), num_partitions=2)
+    names = sorted(p.name for p in out.iterdir())
+    assert names == ["corpus", "stats"], names

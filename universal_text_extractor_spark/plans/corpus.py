@@ -13,11 +13,14 @@ engine's existing scale-shaped operators.
 
 Scale notes: every stage reuses an operator whose plan shape was already
 audited for 100 TB (SURVEY.md §8) — the only additions here are LEFT
-SEMI joins that carry an 8-byte key, never document bytes. Memory: the
-quality/exact stages are cached (full text rows, MEMORY_AND_DISK) while
-the shingle explosion runs — size the JVM like any real Spark job
-(measured: 20k docs OOM a 1 GB local-mode default heap; comfortable at
-bench-style 16 g; see SURVEY §8c for walls). Near-dup
+SEMI joins that carry an 8-byte key, never document bytes. Memory (r4,
+verdict item #3): stage boundaries are parquet writes under
+``out_dir/_stage`` re-read by the next stage — stage memory is
+independent of corpus size (the r3 persist() design OOM'd a 1 GB
+local-mode heap at 20k docs while the shingle explosion ran over cached
+full-text rows; staging to disk removes that failure mode entirely and
+matches what a 100-TB run does anyway: you never hold the corpus, you
+scan it). Counts come from parquet footer metadata — free. Near-dup
 purge semantics: a document dies when it is the HIGHER doc_id of any
 verified pair ≥ threshold (the standard keep-first rule; transitive
 closure is deliberately not computed — it needs an iterative
@@ -96,22 +99,26 @@ def build_training_corpus(
             use_ocr=use_ocr,
             main_content=main_content,
         )
-    base = frame_documents(extracted).persist()
-    docs = base
-    stats = {"extracted_ok": docs.count()}
+    stage_dir = f"{out_dir}/_stage"
+    frame_documents(extracted).write.mode("overwrite").parquet(
+        f"{stage_dir}/framed"
+    )
+    docs = spark.read.parquet(f"{stage_dir}/framed")
+    stats = {"extracted_ok": docs.count()}  # parquet footer count: no scan
 
     if lang_allow:
         docs = docs.filter(F.col("lang").isin(*lang_allow))
         stats["lang_kept"] = docs.count()
 
-    # quality purge (t6 semantics, text retained)
+    # quality purge (t6 semantics, text retained); staged so the shingle
+    # explosion below re-reads it from disk instead of executor memory
     alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
-    quality = docs.filter(
+    docs.filter(
         (token_count_col(F.col("text")) >= min_tokens)
         & (alpha / F.greatest(F.col("n_chars"), F.lit(1)) >= min_alpha_ratio)
-    ).persist()
+    ).write.mode("overwrite").parquet(f"{stage_dir}/quality")
+    quality = spark.read.parquet(f"{stage_dir}/quality")
     stats["quality_kept"] = quality.count()
-    base.unpersist()
 
     # exact dedup purge (dd7 shape: 8-byte key agg + LEFT SEMI back)
     kept_ids = (
@@ -122,9 +129,11 @@ def build_training_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact = quality.join(kept_ids, "doc_id", "left_semi").persist()
+    quality.join(kept_ids, "doc_id", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(f"{stage_dir}/exact")
+    exact = spark.read.parquet(f"{stage_dir}/exact")
     stats["exact_unique"] = exact.count()
-    quality.unpersist()
 
     # near-dup purge: any doc that is the HIGHER id of a verified pair dies
     if verify_jaccard:
@@ -152,9 +161,17 @@ def build_training_corpus(
     corpus.write.mode("overwrite").parquet(f"{out_dir}/corpus")
     final = spark.read.parquet(f"{out_dir}/corpus")
     stats["near_dup_unique"] = final.count()
-    exact.unpersist()
 
     spark.createDataFrame(
         [tuple(stats.values())], schema=", ".join(f"{k} long" for k in stats)
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+
+    # drop the stage scratch (local-FS out_dir by design — same policy as
+    # plans/storage.py)
+    import shutil
+    from urllib.parse import urlparse
+
+    p = urlparse(stage_dir)
+    if p.scheme in ("", "file"):
+        shutil.rmtree(p.path or stage_dir, ignore_errors=True)
     return stats
