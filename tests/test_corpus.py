@@ -178,3 +178,102 @@ def test_stage_scratch_cleaned_and_no_caching(spark, tmp_path):
     build_training_corpus(spark, df, str(out), num_partitions=2)
     names = sorted(p.name for p in out.iterdir())
     assert names == ["corpus", "stats"], names
+
+
+def test_connected_components_vs_union_find_oracle(spark):
+    """Min-label propagation vs a driver-side union-find oracle over a
+    graph mixing a long chain (worst case for propagation), a clique, a
+    2-node pair, and a star."""
+    import random
+
+    from universal_text_extractor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(11)
+    edges = []
+    chain = [rng.randrange(1 << 40) for _ in range(12)]
+    edges += list(zip(chain, chain[1:]))
+    clique = [rng.randrange(1 << 40) for _ in range(5)]
+    edges += [(a, b) for i, a in enumerate(clique) for b in clique[i + 1 :]]
+    edges += [(7, 9)]
+    hub = rng.randrange(1 << 40)
+    edges += [(hub, rng.randrange(1 << 40)) for _ in range(6)]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((x, find(x)) for x in parent)
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], schema="doc_a long, doc_b long"
+    )
+    got = sorted(
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs).collect()
+    )
+    assert got == want
+
+
+def test_closure_vs_keep_first_differ_on_chains(spark, tmp_path):
+    """r3 verdict item #6's fixture: a verified-pair CHAIN A—B—C where B
+    has the largest doc_id. Keep-first kills only B (the max of both
+    pairs) and keeps both endpoints; closure keeps one doc per component
+    (the min id). Both modes checked against the expected url sets."""
+    import hashlib
+    import itertools
+
+    from pyspark.sql import Row
+
+    def mdl(u: str) -> int:
+        return int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+
+    # urls such that id(B) > id(A) and id(B) > id(C), id(A) < id(C)
+    for i in itertools.count():
+        ua, ub, uc = (f"https://cl.example/{x}{i}.txt" for x in "abc")
+        if mdl(ub) > mdl(ua) < mdl(uc) < mdl(ub):
+            break
+
+    # word-3-shingle Jaccard: J(A,B)=J(B,C)=18/24=0.75 ≥ 0.7 (verified
+    # pairs), J(A,C)=18/30=0.6 < 0.7 (no edge) — B is the textual bridge
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    shared = [f"shared{letters[j]}" for j in range(20)]
+    xa = [f"alpha{letters[j]}" for j in range(6)]
+    yc = [f"gamma{letters[j]}" for j in range(6)]
+    texts = {
+        ua: " ".join(shared + xa),
+        ub: " ".join(shared),
+        uc: " ".join(shared + yc),
+    }
+    pages = [
+        Row(url=u, warc_ts=None, html=t.encode(), text="", lang="en")
+        for u, t in texts.items()
+    ]
+    df = spark.createDataFrame(
+        pages,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+    out_kf = str(tmp_path / "keep_first")
+    stats_kf = build_training_corpus(spark, df, out_kf, num_partitions=2)
+    kept_kf = {r["url"] for r in spark.read.parquet(f"{out_kf}/corpus").collect()}
+    assert kept_kf == {ua, uc}, kept_kf  # B (max id, in both pairs) dies
+    assert stats_kf["near_dup_unique"] == 2
+
+    out_cl = str(tmp_path / "closure")
+    stats_cl = build_training_corpus(
+        spark, df, out_cl, num_partitions=2, near_dup_closure=True
+    )
+    kept_cl = {r["url"] for r in spark.read.parquet(f"{out_cl}/corpus").collect()}
+    assert kept_cl == {ua}, kept_cl  # one survivor per component: min id = A
+    assert stats_cl["near_dup_unique"] == 1

@@ -436,3 +436,64 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup pair edges (doc_a, doc_b) by
+    iterative min-label propagation: every node's label converges to the
+    smallest doc_id in its component. Returns (doc_id, component) for
+    every doc appearing in a pair.
+
+    Scale shape: each round is one 8-byte-key join + one map-combinable
+    min aggregate — document text never enters the loop, and the loop is
+    driver-bounded (``max_iters``) with an early-exit count when a round
+    changes nothing. Labels spread one hop per round, so rounds ≈ the
+    eccentricity of the component's min node; near-dup graphs are shallow
+    (template clusters are dense cliques → 1-2 rounds), which is why the
+    simple propagation beats a log-rounds star-contraction here — the
+    constant factor per round is one shuffle, not three. Every round's
+    label set is ``localCheckpoint``-ed: iterative self-referencing
+    lineage otherwise grows the logical plan geometrically (measured: the
+    un-truncated plan STRING alone OOM'd the driver at 12 rounds).
+    """
+    sym = pairs.select("doc_a", "doc_b").union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("nbr"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.least("doc_a", "nbr").alias("component"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .groupBy("doc_a")
+            .agg(F.min("component").alias("nbr_comp"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("nbr_comp", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

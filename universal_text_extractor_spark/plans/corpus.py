@@ -22,10 +22,12 @@ full-text rows; staging to disk removes that failure mode entirely and
 matches what a 100-TB run does anyway: you never hold the corpus, you
 scan it). Counts come from parquet footer metadata — free. Near-dup
 purge semantics: a document dies when it is the HIGHER doc_id of any
-verified pair ≥ threshold (the standard keep-first rule; transitive
-closure is deliberately not computed — it needs an iterative
-connected-components pass that triples the shuffle count for marginal
-extra recall). Stage counts come from one cached pass per stage.
+verified pair ≥ threshold (the standard keep-first rule); pass
+``near_dup_closure=True`` for transitive-closure semantics instead —
+one survivor per connected component of the verified-pair graph, via a
+driver-bounded min-label-propagation loop over 8-byte keys
+(operators/dedup.connected_components). Keep-first stays the default:
+closure adds an iterative shuffle loop for marginal extra recall.
 """
 
 from __future__ import annotations
@@ -33,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import md5_long, minhash_lsh_pairs, normalized_text_col
+from ..operators.dedup import (
+    connected_components,
+    md5_long,
+    minhash_lsh_pairs,
+    normalized_text_col,
+)
 from ..operators.extract import extract_pages_fused
 from ..operators.textstats import lang_id_col
 from ..functions.text_funcs import token_count_col
@@ -67,6 +74,7 @@ def build_training_corpus(
     lang_allow: list[str] | None = None,
     near_dup_threshold: float = 0.7,
     verify_jaccard: bool = True,
+    near_dup_closure: bool = False,
     num_partitions: int | None = None,
     use_ocr: bool = False,
     main_content: bool = False,
@@ -138,7 +146,19 @@ def build_training_corpus(
     # near-dup purge: any doc that is the HIGHER id of a verified pair dies
     if verify_jaccard:
         pairs = minhash_lsh_pairs(exact, threshold=near_dup_threshold)
-        doomed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        if near_dup_closure:
+            # transitive-closure semantics (r3 verdict item #6): keep ONE
+            # doc per connected component of the verified-pair graph (the
+            # min doc_id), instead of keep-first's "dies if the higher id
+            # of ANY pair". They differ on chains: in A—B—C with B the max
+            # id, keep-first keeps both endpoints, closure keeps only the
+            # component min. Costs a driver-bounded 8-byte-key label loop.
+            labels = connected_components(pairs)
+            doomed = labels.filter(
+                F.col("doc_id") != F.col("component")
+            ).select("doc_id")
+        else:
+            doomed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         corpus = exact.join(doomed, "doc_id", "left_anti")
     else:
         # bucket-min kill: keep a doc iff it IS the min of every bucket
