@@ -122,3 +122,136 @@ class ParquetStorage:
 
 
 DEFAULT_STORAGE = ParquetStorage()
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath (the
+    sandbox ships none — tests auto-skip; SURVEY §4.3)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — jar probe
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergStorage:
+    """Iceberg implementation of the seam (r3 verdict item #4) — each
+    protocol op is the snapshot-atomic form tabulated in the module
+    docstring. Requires a session configured with an Iceberg catalog::
+
+        spark.sql.catalog.<catalog> = org.apache.iceberg.spark.SparkCatalog
+        (+ iceberg-spark-runtime on the classpath; see iceberg_available)
+
+    Iceberg addresses TABLES, not paths, so ``out_dir`` (an arbitrary run
+    key) maps to a table-name prefix ``run_<sha1(out_dir)[:12]>_`` under
+    ``catalog.namespace``. Crash-safety mapping: write_bucket is
+    ``overwritePartitions`` on a bucket-partitioned table (idempotent
+    re-commit of a crashed bucket), metrics/manifest appends are snapshot
+    commits, and drop_stage is a catalog DROP."""
+
+    def __init__(self, catalog: str = "iceberg", namespace: str = "utes"):
+        self.catalog = catalog
+        self.namespace = namespace
+
+    # -- naming ------------------------------------------------------------
+    def _tbl(self, out_dir: str, name: str) -> str:
+        import hashlib
+
+        key = hashlib.sha1(out_dir.encode()).hexdigest()[:12]
+        return f"{self.catalog}.{self.namespace}.run_{key}_{name}"
+
+    @staticmethod
+    def _active_spark() -> SparkSession:
+        s = SparkSession.getActiveSession()
+        if s is None:
+            raise RuntimeError("IcebergStorage needs an active SparkSession")
+        return s
+
+    def _ensure_ns(self, spark: SparkSession) -> None:
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+        )
+
+    def _append(self, df: DataFrame, tbl: str) -> None:
+        spark = df.sparkSession
+        self._ensure_ns(spark)
+        if spark.catalog.tableExists(tbl):
+            df.writeTo(tbl).append()
+        else:
+            df.writeTo(tbl).using("iceberg").create()
+
+    # -- protocol ------------------------------------------------------------
+    def stage_pages(self, pages_with_bucket: DataFrame, out_dir: str) -> None:
+        from pyspark.sql import functions as F
+
+        self._ensure_ns(pages_with_bucket.sparkSession)
+        (
+            pages_with_bucket.writeTo(self._tbl(out_dir, "staged"))
+            .using("iceberg")
+            .partitionedBy(F.col("bucket"))
+            .createOrReplace()
+        )
+
+    def stage_is_committed(self, out_dir: str) -> bool:
+        return self._active_spark().catalog.tableExists(
+            self._tbl(out_dir, "staged")
+        )
+
+    def read_stage(self, spark: SparkSession, out_dir: str) -> DataFrame:
+        return spark.read.table(self._tbl(out_dir, "staged"))
+
+    def write_bucket(
+        self, extracted: DataFrame, out_dir: str, bucket: int
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        spark = extracted.sparkSession
+        self._ensure_ns(spark)
+        tbl = self._tbl(out_dir, "extracted")
+        df = extracted.withColumn("bucket", F.lit(bucket))
+        if spark.catalog.tableExists(tbl):
+            df.writeTo(tbl).overwritePartitions()
+        else:
+            df.writeTo(tbl).using("iceberg").partitionedBy(
+                F.col("bucket")
+            ).create()
+
+    def read_bucket(
+        self, spark: SparkSession, out_dir: str, bucket: int
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.table(self._tbl(out_dir, "extracted"))
+            .filter(F.col("bucket") == bucket)
+            .drop("bucket")
+        )
+
+    def append_metrics(self, metrics: DataFrame, out_dir: str) -> None:
+        self._append(metrics, self._tbl(out_dir, "metrics"))
+
+    def append_manifest(
+        self, spark: SparkSession, out_dir: str, bucket: int, run_id: str
+    ) -> None:
+        df = spark.createDataFrame(
+            [(bucket, run_id)], "bucket int, run_id string"
+        )
+        self._append(df, self._tbl(out_dir, "manifest"))
+
+    def read_manifest_buckets(
+        self, spark: SparkSession, out_dir: str
+    ) -> list[int]:
+        tbl = self._tbl(out_dir, "manifest")
+        if not spark.catalog.tableExists(tbl):
+            return []
+        return [
+            r["bucket"]
+            for r in spark.read.table(tbl).select("bucket").distinct().collect()
+        ]
+
+    def drop_stage(self, out_dir: str) -> None:
+        self._active_spark().sql(
+            f"DROP TABLE IF EXISTS {self._tbl(out_dir, 'staged')}"
+        )
