@@ -236,6 +236,8 @@ def extract_payload(
     content_type: str | None = None,
     use_ocr: bool = False,
     main_content: bool = False,
+    ocr_language: str = "eng",
+    handwriting_mode: bool = False,
 ) -> tuple[str, bool, bool, str | None, list[str]]:
     """The dispatcher (reference utils/file_handlers.py:147-259).
 
@@ -269,9 +271,13 @@ def extract_payload(
                 # utils/file_handlers.py:182-196.
                 from .ocr_kernel import perform_ocr
 
-                text = perform_ocr(payload or b"")
+                text = perform_ocr(
+                    payload or b"", ocr_language, handwriting_mode
+                )
                 ocr_used = True
-                logs.append("Performed OCR on image with language: eng")
+                logs.append(
+                    f"Performed OCR on image with language: {ocr_language}"
+                )
             else:
                 text, k_logs = extract_image_metadata(payload or b"")
                 logs.extend(k_logs)
@@ -350,6 +356,7 @@ def extract_payload(
             text, ocr_used, _s, error, k_logs = extract_payload(
                 inner_url, inner, inner_ct,
                 use_ocr=use_ocr, main_content=main_content,
+                ocr_language=ocr_language, handwriting_mode=handwriting_mode,
             )
             logs.extend(k_logs)
         elif file_type == "gzip":
@@ -369,6 +376,7 @@ def extract_payload(
             text, ocr_used, _s, error, k_logs = extract_payload(
                 inner_url, inner, inner_ct,
                 use_ocr=use_ocr, main_content=main_content,
+                ocr_language=ocr_language, handwriting_mode=handwriting_mode,
             )
             logs.extend(k_logs)
         elif file_type == "msg":
