@@ -64,6 +64,68 @@ def frame_documents(extracted: DataFrame) -> DataFrame:
     )
 
 
+def quality_filter(
+    docs: DataFrame, min_alpha_ratio: float = 0.81, min_tokens: int = 15
+) -> DataFrame:
+    """Quality purge (t6 semantics, text retained): pure scan+filter —
+    zero Exchange, no Python (plan-linted)."""
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
+    return docs.filter(
+        (token_count_col(F.col("text")) >= min_tokens)
+        & (alpha / F.greatest(F.col("n_chars"), F.lit(1)) >= min_alpha_ratio)
+    )
+
+
+def exact_unique(quality: DataFrame) -> DataFrame:
+    """Exact dedup purge (dd7 shape): 8-byte-key map-combinable aggregate
+    + LEFT SEMI join back — text never rides the second shuffle."""
+    kept_ids = (
+        quality.select(
+            "doc_id", md5_long(normalized_text_col(F.col("text"))).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return quality.join(kept_ids, "doc_id", "left_semi")
+
+
+def near_dup_purged(
+    exact: DataFrame,
+    threshold: float = 0.7,
+    verify_jaccard: bool = True,
+    closure: bool = False,
+) -> DataFrame:
+    """Near-dup purge stage plan — the three production variants (see
+    build_training_corpus for semantics)."""
+    if verify_jaccard:
+        pairs = minhash_lsh_pairs(exact, threshold=threshold)
+        if closure:
+            labels = connected_components(pairs)
+            doomed = labels.filter(
+                F.col("doc_id") != F.col("component")
+            ).select("doc_id")
+        else:
+            doomed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    else:
+        # bucket-min kill: keep a doc iff it IS the min of every bucket
+        # it lands in (equivalently: one anti-join against the set of
+        # docs that are non-min somewhere). Aggregate is map-combinable.
+        from ..operators.dedup import lsh_bands
+
+        bands = lsh_bands(exact)
+        bucket_min = bands.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("min_id")
+        )
+        doomed = (
+            bands.join(bucket_min, ["band", "bucket"])
+            .filter(F.col("doc_id") != F.col("min_id"))
+            .select("doc_id")
+            .distinct()
+        )
+    return exact.join(doomed, "doc_id", "left_anti")
+
+
 def build_training_corpus(
     spark: SparkSession,
     pages: DataFrame | None,
@@ -118,65 +180,31 @@ def build_training_corpus(
         docs = docs.filter(F.col("lang").isin(*lang_allow))
         stats["lang_kept"] = docs.count()
 
-    # quality purge (t6 semantics, text retained); staged so the shingle
-    # explosion below re-reads it from disk instead of executor memory
-    alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
-    docs.filter(
-        (token_count_col(F.col("text")) >= min_tokens)
-        & (alpha / F.greatest(F.col("n_chars"), F.lit(1)) >= min_alpha_ratio)
-    ).write.mode("overwrite").parquet(f"{stage_dir}/quality")
+    # quality purge; staged so the shingle explosion below re-reads it
+    # from disk instead of executor memory
+    quality_filter(docs, min_alpha_ratio, min_tokens).write.mode(
+        "overwrite"
+    ).parquet(f"{stage_dir}/quality")
     quality = spark.read.parquet(f"{stage_dir}/quality")
     stats["quality_kept"] = quality.count()
 
-    # exact dedup purge (dd7 shape: 8-byte key agg + LEFT SEMI back)
-    kept_ids = (
-        quality.select(
-            "doc_id", md5_long(normalized_text_col(F.col("text"))).alias("k")
-        )
-        .groupBy("k")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    exact_unique(quality).write.mode("overwrite").parquet(
+        f"{stage_dir}/exact"
     )
-    quality.join(kept_ids, "doc_id", "left_semi").write.mode(
-        "overwrite"
-    ).parquet(f"{stage_dir}/exact")
     exact = spark.read.parquet(f"{stage_dir}/exact")
     stats["exact_unique"] = exact.count()
 
-    # near-dup purge: any doc that is the HIGHER id of a verified pair dies
-    if verify_jaccard:
-        pairs = minhash_lsh_pairs(exact, threshold=near_dup_threshold)
-        if near_dup_closure:
-            # transitive-closure semantics (r3 verdict item #6): keep ONE
-            # doc per connected component of the verified-pair graph (the
-            # min doc_id), instead of keep-first's "dies if the higher id
-            # of ANY pair". They differ on chains: in A—B—C with B the max
-            # id, keep-first keeps both endpoints, closure keeps only the
-            # component min. Costs a driver-bounded 8-byte-key label loop.
-            labels = connected_components(pairs)
-            doomed = labels.filter(
-                F.col("doc_id") != F.col("component")
-            ).select("doc_id")
-        else:
-            doomed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        corpus = exact.join(doomed, "doc_id", "left_anti")
-    else:
-        # bucket-min kill: keep a doc iff it IS the min of every bucket
-        # it lands in (equivalently: one anti-join against the set of
-        # docs that are non-min somewhere). Aggregate is map-combinable.
-        from ..operators.dedup import lsh_bands
-
-        bands = lsh_bands(exact)
-        bucket_min = bands.groupBy("band", "bucket").agg(
-            F.min("doc_id").alias("min_id")
-        )
-        doomed = (
-            bands.join(bucket_min, ["band", "bucket"])
-            .filter(F.col("doc_id") != F.col("min_id"))
-            .select("doc_id")
-            .distinct()
-        )
-        corpus = exact.join(doomed, "doc_id", "left_anti")
+    # near-dup purge: keep-first (a doc that is the HIGHER id of any
+    # verified pair dies), transitive closure (r3 verdict item #6: ONE
+    # survivor per verified-pair component — differs from keep-first on
+    # chains, where keep-first keeps both endpoints), or the pair-free
+    # bucket-min fast path
+    corpus = near_dup_purged(
+        exact,
+        threshold=near_dup_threshold,
+        verify_jaccard=verify_jaccard,
+        closure=near_dup_closure,
+    )
 
     corpus.write.mode("overwrite").parquet(f"{out_dir}/corpus")
     final = spark.read.parquet(f"{out_dir}/corpus")
