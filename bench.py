@@ -183,6 +183,63 @@ def extraction_throughput(cores: int, mode: str = "fused") -> dict:
     }
 
 
+CORPUS_ROWS = int(os.environ.get("UTES_BENCH_CORPUS_ROWS", "20000"))
+
+
+def corpus_throughput(cores: int) -> dict:
+    """Phase C (r3 verdict item #8): the product-shaped path — crawl pages
+    → extraction → quality purge → exact dedup → near-dup purge — timed
+    end-to-end at the high parallelism level for BOTH near-dup modes
+    (verified-pair keep-first and the pair-free bucket-min fast path), so
+    regressions in the LEFT SEMI/ANTI shapes get caught like any headline
+    query's. Fixed-seed generated pages (index-pure, deterministic); one
+    rep per mode — the phase is minutes-long, so burst noise amortizes."""
+    import shutil
+    import tempfile
+
+    from universal_text_extractor_spark.plans.corpus import (
+        build_training_corpus,
+    )
+    from universal_text_extractor_spark.sources.pages_gen import (
+        generate_pages_df,
+    )
+
+    spark = _session(cores, shuffle_partitions=cores)
+    pages = generate_pages_df(spark, CORPUS_ROWS, partitions=cores * 2)
+    result: dict = {"docs": CORPUS_ROWS, "cores": cores}
+    for mode, verify in (("verified_pair", True), ("bucket_min", False)):
+        d = tempfile.mkdtemp(prefix=f"utes-corpus-{mode}-")
+        try:
+            t0 = time.time()
+            stats = build_training_corpus(
+                spark, pages, d,
+                verify_jaccard=verify, num_partitions=cores * 2,
+            )
+            wall = time.time() - t0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        result[mode] = {
+            "wall_sec": round(wall, 3),
+            "pages_per_sec": round(CORPUS_ROWS / wall, 1),
+            "stage_counts": stats,
+        }
+    spark.stop()
+    return result
+
+
+def _subprocess_corpus(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, __file__, "--corpus-level", str(cores)],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+        cwd=str(REPO),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"corpus bench @{cores} failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def _subprocess_extract(cores: int, mode: str = "fused") -> dict:
     out = subprocess.run(
         [sys.executable, __file__, "--extract-level", str(cores), mode],
@@ -226,6 +283,9 @@ def main() -> None:
         mode = sys.argv[3] if len(sys.argv) >= 4 else "fused"
         print(json.dumps(extraction_throughput(int(sys.argv[2]), mode)))
         return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--corpus-level":
+        print(json.dumps(corpus_throughput(int(sys.argv[2]))))
+        return
 
     ensure_bench_pages()
     lo_cores, hi_cores = LO_CORES, HI_CORES
@@ -239,6 +299,7 @@ def main() -> None:
     # one filter+union run at the high level: the north-star branch plan's
     # own number, for the architecture record
     union_hi = _subprocess_extract(hi_cores, mode="union")
+    corpus = _subprocess_corpus(hi_cores)
     eff = round(
         (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cores / lo_cores), 3
     )
@@ -257,6 +318,7 @@ def main() -> None:
             "scaling_efficiency": eff,
             "scaling_target": 0.8,
         },
+        "corpus": corpus,
     }
     _write_baseline_md(result)
     print(json.dumps(result))
@@ -317,10 +379,33 @@ def _write_baseline_md(result: dict) -> None:
         "|---|---|",
     ]
     lines += [f"| {k} | {v} |" for k, v in result["queries"].items()]
+    co = result.get("corpus")
+    if co:
+        lines += [
+            "",
+            f"Total: {result['value']} s.",
+            "",
+            "## Corpus pipeline (crawl pages → training corpus, end-to-end)",
+            "",
+            f"{co['docs']} generated pages at {co['cores']} cores (the high "
+            "extraction level, fresh JVM): extraction → quality purge → "
+            "exact dedup → near-dup purge, both near-dup modes. Stage "
+            "boundaries spill to parquet (r4), so these walls include that "
+            "I/O — the production memory/robustness trade.",
+            "",
+            "| near-dup mode | wall (s) | pages/sec | stage counts |",
+            "|---|---|---|---|",
+        ]
+        for mode in ("verified_pair", "bucket_min"):
+            c = co[mode]
+            lines.append(
+                f"| {mode} | {c['wall_sec']} | {c['pages_per_sec']} | "
+                f"{c['stage_counts']} |"
+            )
+        lines.append("")
+    else:
+        lines += ["", f"Total: {result['value']} s.", ""]
     lines += [
-        "",
-        f"Total: {result['value']} s.",
-        "",
         "Reference baseline: single-process, one-doc-at-a-time "
         "(BASELINE.md; reference text_extractor_api.py:155-158) — no "
         "published numbers; our two-level throughput above is the recorded "
