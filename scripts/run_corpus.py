@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--no-verify-jaccard", action="store_true",
                     help="pair-free bucket-min near-dup purge (the linear "
                          "100-TB fast path; trades recall precision)")
+    ap.add_argument("--near-dup-closure", action="store_true",
+                    help="transitive-closure near-dup semantics: one "
+                         "survivor per connected component of the "
+                         "verified-pair graph (default: keep-first)")
     ap.add_argument("--use-ocr", action="store_true")
     ap.add_argument("--main-content", action="store_true")
     args = ap.parse_args()
@@ -75,6 +79,7 @@ def main() -> None:
         lang_allow=args.lang,
         near_dup_threshold=args.near_dup_threshold,
         verify_jaccard=not args.no_verify_jaccard,
+        near_dup_closure=args.near_dup_closure,
         num_partitions=args.partitions,
         use_ocr=args.use_ocr,
         main_content=args.main_content,

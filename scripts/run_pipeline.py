@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--use-ocr", action="store_true",
                     help="run the K13 glyph recognizer on image payloads "
                          "and scanned PDF pages (D8 consequent)")
+    ap.add_argument("--ocr-language", default="eng",
+                    help="OCR language code (reference remap table; "
+                         "unknown codes yield the no-text literal)")
+    ap.add_argument("--handwriting", action="store_true",
+                    help="handwriting mode: char-whitelist pass + "
+                         "per-word-grid retry (PSM-6/PSM-8 analogue)")
     ap.add_argument("--main-content", action="store_true",
                     help="HTML branch emits Readability-style main content "
                          "(boilerplate removed) instead of full-page text")
@@ -67,7 +73,8 @@ def main() -> None:
     run = run_extraction(
         spark, pages, args.out, n_buckets=args.buckets,
         num_partitions=args.partitions, use_ocr=args.use_ocr,
-        main_content=args.main_content,
+        main_content=args.main_content, ocr_language=args.ocr_language,
+        handwriting_mode=args.handwriting,
     )
     print(
         f"run {run.run_id}: committed {len(run.committed_buckets)} buckets "

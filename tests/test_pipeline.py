@@ -218,3 +218,43 @@ def test_main_content_mode(spark):
         else:  # every non-html branch is unchanged by the flag
             assert tuple(r) == tuple(plain[u]), u
     assert n_html > 100  # the corpus is html-dominated; the mode was exercised
+
+
+def test_fused_equals_union_under_ocr_options(spark):
+    """r4: the fused ≡ union byte-identity must hold under the new OCR
+    option surface too (language + handwriting_mode thread through both
+    dispatch paths identically), and the options must be visibly live:
+    an unknown language turns every OCR'd image into the no-text
+    literal."""
+    from universal_text_extractor_spark.kernels.ocr_kernel import (
+        NO_TEXT_LITERAL,
+    )
+
+    pages = generate_pages_df(spark, 300, partitions=4)
+    stable = ["url", "content_type", "text", "ocr_used", "success", "error"]
+    kw = dict(
+        num_partitions=4, use_ocr=True,
+        ocr_language="fra", handwriting_mode=True,
+    )
+    union_rows = {
+        r["url"]: tuple(r)
+        for r in extract_pages(pages, **kw).select(*stable).collect()
+    }
+    fused_rows = {
+        r["url"]: tuple(r)
+        for r in extract_pages_fused(pages, **kw).select(*stable).collect()
+    }
+    assert union_rows == fused_rows
+
+    bad_lang = {
+        r["url"]: r["text"]
+        for r in extract_pages_fused(
+            pages, num_partitions=4, use_ocr=True, ocr_language="zz"
+        ).collect()
+        if r["content_type"] == "image"
+    }
+    assert bad_lang and all(
+        t == NO_TEXT_LITERAL or t.startswith("[")  # metadata-less payloads
+        for t in bad_lang.values()
+    )
+    assert any(t == NO_TEXT_LITERAL for t in bad_lang.values())

@@ -67,7 +67,13 @@ EXTRACTED_COLUMNS = (
 )
 
 
-def _branch_udf(family: str, use_ocr: bool = False, main_content: bool = False):
+def _branch_udf(
+    family: str,
+    use_ocr: bool = False,
+    main_content: bool = False,
+    ocr_language: str = "eng",
+    handwriting_mode: bool = False,
+):
     """Specialized Arrow UDF for one dispatch-branch family (html / pdf /
     text / office / image). The kernel is invoked per element over an Arrow
     batch (vectorized transfer; pure-Python kernel work is the unavoidable
@@ -80,7 +86,8 @@ def _branch_udf(family: str, use_ocr: bool = False, main_content: bool = False):
         for u, payload, ct in zip(url, html, ctype):
             t0 = time.perf_counter_ns()
             text, ocr_used, success, error, logs = extract_payload(
-                u, payload, ct, use_ocr=use_ocr, main_content=main_content
+                u, payload, ct, use_ocr=use_ocr, main_content=main_content,
+                ocr_language=ocr_language, handwriting_mode=handwriting_mode,
             )
             rows.append(
                 (text, ocr_used, success, error, logs,
@@ -107,6 +114,8 @@ def extract_pages(
     persist_base: bool = False,
     use_ocr: bool = False,
     main_content: bool = False,
+    ocr_language: str = "eng",
+    handwriting_mode: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, …) → extracted DataFrame (EXTRACTED_COLUMNS
     + extracted_at). One shuffle, reused by every branch.
@@ -147,7 +156,10 @@ def extract_pages(
     all_typed = [t for types in BRANCH_FAMILIES.values() for t in types]
     branches = []
     for family, types in BRANCH_FAMILIES.items():
-        udf = _branch_udf(family, use_ocr=use_ocr, main_content=main_content)
+        udf = _branch_udf(
+            family, use_ocr=use_ocr, main_content=main_content,
+            ocr_language=ocr_language, handwriting_mode=handwriting_mode,
+        )
         pred = (
             F.col("content_type") == types[0]
             if len(types) == 1
@@ -190,6 +202,8 @@ def extract_pages_fused(
     salt: int = DEFAULT_SALT,
     use_ocr: bool = False,
     main_content: bool = False,
+    ocr_language: str = "eng",
+    handwriting_mode: bool = False,
 ) -> DataFrame:
     """Single-pass variant of :func:`extract_pages`: one ``mapInPandas``
     stage dispatches each Arrow batch to the same per-family kernels the
@@ -241,7 +255,9 @@ def extract_pages_fused(
             ):
                 t0 = time.perf_counter_ns()
                 text, ocr_used, success, error, logs = extract_payload(
-                    u, payload, ct, use_ocr=use_ocr, main_content=main_content
+                    u, payload, ct, use_ocr=use_ocr, main_content=main_content,
+                    ocr_language=ocr_language,
+                    handwriting_mode=handwriting_mode,
                 )
                 rows.append(
                     (

@@ -118,6 +118,8 @@ def run_extraction(
     fused: bool = True,
     use_ocr: bool = False,
     main_content: bool = False,
+    ocr_language: str = "eng",
+    handwriting_mode: bool = False,
     storage: StorageBackend = DEFAULT_STORAGE,
 ) -> ExtractionRun:
     """Execute (or resume) an extraction run over ``pages`` into
@@ -246,7 +248,8 @@ def run_extraction(
         extractor = extract_pages_fused if fused else extract_pages
         extracted = extractor(
             chunk, num_partitions=num_partitions, use_ocr=use_ocr,
-            main_content=main_content,
+            main_content=main_content, ocr_language=ocr_language,
+            handwriting_mode=handwriting_mode,
         )
         # write-then-publish: data, metrics, manifest — in that order
         storage.write_bucket(extracted, out_dir, b)
