@@ -184,6 +184,7 @@ def extraction_throughput(cores: int, mode: str = "fused") -> dict:
 
 
 CORPUS_ROWS = int(os.environ.get("UTES_BENCH_CORPUS_ROWS", "20000"))
+CORPUS_REPS = int(os.environ.get("UTES_BENCH_CORPUS_REPS", "2"))
 
 
 def corpus_throughput(cores: int) -> dict:
@@ -192,8 +193,10 @@ def corpus_throughput(cores: int) -> dict:
     end-to-end at the high parallelism level for BOTH near-dup modes
     (verified-pair keep-first and the pair-free bucket-min fast path), so
     regressions in the LEFT SEMI/ANTI shapes get caught like any headline
-    query's. Fixed-seed generated pages (index-pure, deterministic); one
-    rep per mode — the phase is minutes-long, so burst noise amortizes."""
+    query's. Fixed-seed generated pages (index-pure, deterministic);
+    best-of-CORPUS_REPS per mode — measured same-code walls swing 1.5-3×
+    between windows here (the verify join is long-tailed under host
+    noise), so a single rep is not comparable across rounds."""
     import shutil
     import tempfile
 
@@ -208,18 +211,23 @@ def corpus_throughput(cores: int) -> dict:
     pages = generate_pages_df(spark, CORPUS_ROWS, partitions=cores * 2)
     result: dict = {"docs": CORPUS_ROWS, "cores": cores}
     for mode, verify in (("verified_pair", True), ("bucket_min", False)):
-        d = tempfile.mkdtemp(prefix=f"utes-corpus-{mode}-")
-        try:
-            t0 = time.time()
-            stats = build_training_corpus(
-                spark, pages, d,
-                verify_jaccard=verify, num_partitions=cores * 2,
-            )
-            wall = time.time() - t0
-        finally:
-            shutil.rmtree(d, ignore_errors=True)
+        walls = []
+        stats: dict = {}
+        for _ in range(max(CORPUS_REPS, 1)):
+            d = tempfile.mkdtemp(prefix=f"utes-corpus-{mode}-")
+            try:
+                t0 = time.time()
+                stats = build_training_corpus(
+                    spark, pages, d,
+                    verify_jaccard=verify, num_partitions=cores * 2,
+                )
+                walls.append(time.time() - t0)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        wall = min(walls)
         result[mode] = {
             "wall_sec": round(wall, 3),
+            "all_walls": [round(w, 1) for w in walls],
             "pages_per_sec": round(CORPUS_ROWS / wall, 1),
             "stage_counts": stats,
         }
@@ -389,18 +397,21 @@ def _write_baseline_md(result: dict) -> None:
             "",
             f"{co['docs']} generated pages at {co['cores']} cores (the high "
             "extraction level, fresh JVM): extraction → quality purge → "
-            "exact dedup → near-dup purge, both near-dup modes. Stage "
-            "boundaries spill to parquet (r4), so these walls include that "
-            "I/O — the production memory/robustness trade.",
+            "exact dedup → near-dup purge, both near-dup modes, best-of-"
+            f"{CORPUS_REPS} per mode (same-code walls swing 1.5-3× between "
+            "windows here — the verify join is long-tailed under host "
+            "noise). Stage boundaries spill to parquet (r4), so these "
+            "walls include that I/O — the production memory/robustness "
+            "trade.",
             "",
-            "| near-dup mode | wall (s) | pages/sec | stage counts |",
-            "|---|---|---|---|",
+            "| near-dup mode | wall (s) | all walls | pages/sec | stage counts |",
+            "|---|---|---|---|---|",
         ]
         for mode in ("verified_pair", "bucket_min"):
             c = co[mode]
             lines.append(
-                f"| {mode} | {c['wall_sec']} | {c['pages_per_sec']} | "
-                f"{c['stage_counts']} |"
+                f"| {mode} | {c['wall_sec']} | {c.get('all_walls')} | "
+                f"{c['pages_per_sec']} | {c['stage_counts']} |"
             )
         lines.append("")
     else:
