@@ -207,13 +207,18 @@ def corpus_throughput(cores: int) -> dict:
         generate_pages_df,
     )
 
-    spark = _session(cores, shuffle_partitions=cores)
-    pages = generate_pages_df(spark, CORPUS_ROWS, partitions=cores * 2)
     result: dict = {"docs": CORPUS_ROWS, "cores": cores}
     for mode, verify in (("verified_pair", True), ("bucket_min", False)):
         walls = []
         stats: dict = {}
         for _ in range(max(CORPUS_REPS, 1)):
+            # fresh session per rep: broadcast cleanup is GC-driven, and
+            # reps sharing one JVM accumulated enough stale broadcasts
+            # under the bench's 64MB threshold to OOM the broadcast build
+            # (measured: notEnoughMemoryToBuildAndBroadcastTableError on
+            # rep 2+). Session lifecycle stays OUTSIDE the timed span.
+            spark = _session(cores, shuffle_partitions=cores)
+            pages = generate_pages_df(spark, CORPUS_ROWS, partitions=cores * 2)
             d = tempfile.mkdtemp(prefix=f"utes-corpus-{mode}-")
             try:
                 t0 = time.time()
@@ -224,6 +229,7 @@ def corpus_throughput(cores: int) -> dict:
                 walls.append(time.time() - t0)
             finally:
                 shutil.rmtree(d, ignore_errors=True)
+                spark.stop()
         wall = min(walls)
         result[mode] = {
             "wall_sec": round(wall, 3),
@@ -231,7 +237,6 @@ def corpus_throughput(cores: int) -> dict:
             "pages_per_sec": round(CORPUS_ROWS / wall, 1),
             "stage_counts": stats,
         }
-    spark.stop()
     return result
 
 
