@@ -200,3 +200,59 @@ def test_xz_multistream_and_truncation():
     t2, _, s2, err2, _ = extract_payload("https://x/a.txt.xz", xz[:-4], "xz")
     assert t2.startswith("[Error extracting text:") and not s2
     assert "truncated" in (err2 or "")
+
+
+def test_bzip2_transparent_decompression(spark):
+    """bzip2 payloads (.bz2 extension or the 42 5A 68 'BZh' magic) follow
+    the same transparent-decompression contract as gzip/xz: detector-twin
+    parity, inner re-dispatch, one nesting level (in both directions),
+    concatenated-stream decode, truncation containment, tail logging."""
+    import bz2
+    import gzip as _g
+
+    from pyspark.sql import Row
+
+    from universal_text_extractor_spark.kernels.dispatch import extract_payload
+
+    html = b"<html><head><title>T</title></head><body><p>bz2 body</p></body></html>"
+    bz = bz2.compress(html)
+    rows = [("https://x/a.html.bz2", bz), ("https://x/blob", bz)]
+    df = spark.createDataFrame(
+        [Row(url=u, html=p) for u, p in rows]
+    ).withColumn("ct", content_type_col(F.col("url"), F.col("html")))
+    got = {r["url"]: r["ct"] for r in df.collect()}
+    for u, p in rows:
+        assert got[u] == detect_content_type(u, p) == "bzip2", u
+
+    t, _, s, _, logs = extract_payload("https://x/a.html.bz2", bz, "bzip2")
+    assert t == extract_payload("https://x/a.html", html, "html")[0] and s
+    assert any("Decompressed bzip2 payload" in l for l in logs)
+    # nesting stops at one level in both directions
+    assert "[Unsupported file type: unknown]" in extract_payload(
+        "https://x/a.bz2", bz2.compress(_g.compress(html, mtime=0)), "bzip2"
+    )[0]
+    assert "[Unsupported file type: unknown]" in extract_payload(
+        "https://x/a.gz", _g.compress(bz, mtime=0), "gzip"
+    )[0]
+    bad = bytearray(bz)
+    bad[20] ^= 0xFF
+    t3, _, s3, _, _ = extract_payload("https://x/a.html.bz2", bytes(bad), "bzip2")
+    assert t3.startswith("[Error extracting text:") and not s3
+    assert isinstance(extract_payload("https://x/a.html.bz2", bz[:8], "bzip2")[0], str)
+
+    # concatenated streams (pbzip2/wiki-dump layout) all decode;
+    # truncation raises into the error literal; non-bz2 tail is logged
+    two = bz2.compress(b"alpha ") + bz2.compress(b"beta")
+    t4, _, s4, _, _ = extract_payload("https://x/a.txt.bz2", two, "bzip2")
+    assert t4 == "alpha beta" and s4
+
+    whole = bz2.compress(b"complete bz2 body")
+    t5, _, s5, err5, _ = extract_payload("https://x/a.txt.bz2", whole[:-4], "bzip2")
+    assert t5.startswith("[Error extracting text:") and not s5
+    assert "truncated" in (err5 or "")
+
+    t6, _, s6, _, logs6 = extract_payload(
+        "https://x/a.txt.bz2", whole + b"not-bz2-tail", "bzip2"
+    )
+    assert t6 == "complete bz2 body" and s6
+    assert any("trailing non-bz2 bytes" in l for l in logs6)

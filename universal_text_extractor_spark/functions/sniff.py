@@ -8,7 +8,7 @@ locks it over the full synthetic corpus):
 1. url extension lookup against the reference taxonomy
    (reference utils/file_handlers.py:94-145)
 2. magic bytes: %PDF / PNG / GIF / JPEG / BMP / RIFF-WebP / ftyp-HEIC-HEIF
-   / {\\rtf / gzip (1F 8B) / xz (FD 37 7A 58 5A 00)
+   / {\\rtf / gzip (1F 8B) / xz (FD 37 7A 58 5A 00) / bzip2 (42 5A 68)
 3. markup prefix (first 256 bytes, leading-ws-stripped, lowercased):
    <?xml → xml; <!doctype html | <html | <head | <body → html
 4. plain-text byte rule: no control byte besides tab/LF/CR in the first 256
@@ -82,6 +82,7 @@ def content_type_col(url: Column, html: Column) -> Column:
         .when(_magic(html, b"{\\rtf"), "rtf")
         .when(_magic(html, b"\x1f\x8b"), "gzip")
         .when(_magic(html, b"\xfd7zXZ\x00"), "xz")
+        .when(_magic(html, b"BZh"), "bzip2")
         .when(is_xml_markup, "xml")
         .when(is_html_markup, "html")
         .when(is_texty, "txt")

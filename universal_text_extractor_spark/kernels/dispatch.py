@@ -69,6 +69,7 @@ for _e in ("jpg", "jpeg", "png", "tiff", "tif", "bmp", "gif", "webp", "heic", "h
 # re-dispatches (mirrored in functions/sniff.py — keep in sync)
 EXT_TO_TYPE["gz"] = "gzip"
 EXT_TO_TYPE["xz"] = "xz"
+EXT_TO_TYPE["bz2"] = "bzip2"
 
 # Types with a real kernel. Of the legacy OLE formats, xls (BIFF8) and msg
 # (MAPI) now parse for real (kernels/xls_kernel.py, msg_kernel.py); doc/ppt
@@ -76,7 +77,7 @@ EXT_TO_TYPE["xz"] = "xz"
 IMPLEMENTED_TYPES = (
     "html", "xml", "txt", "pdf", "rtf", "csv", "eml", "image",
     "docx", "pptx", "xlsx", "ods", "odt", "odp", "epub",
-    "doc", "ppt", "xls", "msg", "gzip", "xz",
+    "doc", "ppt", "xls", "msg", "gzip", "xz", "bzip2",
 )
 
 # Dispatch-branch grouping for the Spark filter+union fan-out: one Arrow UDF
@@ -86,7 +87,7 @@ IMPLEMENTED_TYPES = (
 BRANCH_FAMILIES: dict[str, tuple[str, ...]] = {
     "html": ("html",),
     "pdf": ("pdf",),
-    "text": ("txt", "csv", "rtf", "eml", "xml", "gzip", "xz"),
+    "text": ("txt", "csv", "rtf", "eml", "xml", "gzip", "xz", "bzip2"),
     "office": (
         "docx", "pptx", "xlsx", "ods", "odt", "odp", "epub",
         "doc", "ppt", "xls", "msg",
@@ -160,6 +161,33 @@ def _unxz_streams(payload: bytes, logs: list[str]) -> bytes:
             return bytes(out)
 
 
+def _unbz2_streams(payload: bytes, logs: list[str]) -> bytes:
+    """bzip2 twin of :func:`_gunzip_members`: all concatenated bz2 streams
+    (the pbzip2/wiki-dump layout is one stream per block), shared cap,
+    truncation raises, non-bz2 tail discarded with a log."""
+    import bz2 as _bz2
+
+    out = bytearray()
+    data = payload
+    while True:
+        dobj = _bz2.BZ2Decompressor()
+        budget = _GZIP_CAP - len(out)
+        out += dobj.decompress(data, budget + 1)
+        if len(out) > _GZIP_CAP:
+            raise ValueError("bzip2 payload exceeds decompression cap")
+        if not dobj.eof:
+            raise ValueError("bzip2 stream truncated or corrupt")
+        data = dobj.unused_data.lstrip(b"\x00")
+        if not data:
+            return bytes(out)
+        if not data.startswith(b"BZh"):
+            logs.append(
+                f"Discarded {len(data)} trailing non-bz2 bytes after "
+                "bzip2 stream"
+            )
+            return bytes(out)
+
+
 def url_extension(url: str) -> str | None:
     m = _URL_EXT_RE.match(url or "")
     return m.group(1).lower() if m else None
@@ -188,6 +216,8 @@ def _sniff_magic(payload: bytes) -> str | None:
         return "gzip"
     if payload.startswith(b"\xfd7zXZ\x00"):
         return "xz"
+    if payload.startswith(b"BZh"):
+        return "bzip2"
     return None
 
 
@@ -347,7 +377,7 @@ def extract_payload(
             inner = _unxz_streams(payload or b"", logs)
             inner_url = url[:-3] if (url or "").lower().endswith(".xz") else url
             inner_ct = detect_content_type(inner_url, inner)
-            if inner_ct in ("gzip", "xz"):
+            if inner_ct in ("gzip", "xz", "bzip2"):
                 inner_ct = "unknown"  # one level only
             logs.append(
                 f"Decompressed xz payload "
@@ -367,10 +397,28 @@ def extract_payload(
             inner = _gunzip_members(payload or b"", logs)
             inner_url = url[:-3] if (url or "").lower().endswith(".gz") else url
             inner_ct = detect_content_type(inner_url, inner)
-            if inner_ct in ("gzip", "xz"):
+            if inner_ct in ("gzip", "xz", "bzip2"):
                 inner_ct = "unknown"  # one level only
             logs.append(
                 f"Decompressed gzip payload "
+                f"({len(payload or b'')} -> {len(inner)} bytes)"
+            )
+            text, ocr_used, _s, error, k_logs = extract_payload(
+                inner_url, inner, inner_ct,
+                use_ocr=use_ocr, main_content=main_content,
+                ocr_language=ocr_language, handwriting_mode=handwriting_mode,
+            )
+            logs.extend(k_logs)
+        elif file_type == "bzip2":
+            # same transparent-decompression contract as gzip/xz: all
+            # concatenated streams, shared bomb cap, truncation raises
+            inner = _unbz2_streams(payload or b"", logs)
+            inner_url = url[:-4] if (url or "").lower().endswith(".bz2") else url
+            inner_ct = detect_content_type(inner_url, inner)
+            if inner_ct in ("gzip", "xz", "bzip2"):
+                inner_ct = "unknown"  # one level only
+            logs.append(
+                f"Decompressed bzip2 payload "
                 f"({len(payload or b'')} -> {len(inner)} bytes)"
             )
             text, ocr_used, _s, error, k_logs = extract_payload(
