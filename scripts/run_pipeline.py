@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--handwriting", action="store_true",
                     help="handwriting mode: char-whitelist pass + "
                          "per-word-grid retry (PSM-6/PSM-8 analogue)")
+    ap.add_argument("--legacy-office", action="store_true",
+                    help="parse legacy .doc/.ppt binaries for real "
+                         "([MS-DOC]/[MS-PPT]) instead of the reference's "
+                         "informative literals")
     ap.add_argument("--main-content", action="store_true",
                     help="HTML branch emits Readability-style main content "
                          "(boilerplate removed) instead of full-page text")
@@ -74,7 +78,7 @@ def main() -> None:
         spark, pages, args.out, n_buckets=args.buckets,
         num_partitions=args.partitions, use_ocr=args.use_ocr,
         main_content=args.main_content, ocr_language=args.ocr_language,
-        handwriting_mode=args.handwriting,
+        handwriting_mode=args.handwriting, legacy_office=args.legacy_office,
     )
     print(
         f"run {run.run_id}: committed {len(run.committed_buckets)} buckets "

@@ -268,6 +268,7 @@ def extract_payload(
     main_content: bool = False,
     ocr_language: str = "eng",
     handwriting_mode: bool = False,
+    legacy_office: bool = False,
 ) -> tuple[str, bool, bool, str | None, list[str]]:
     """The dispatcher (reference utils/file_handlers.py:147-259).
 
@@ -280,6 +281,11 @@ def extract_payload(
     "DOM-tree boilerplate removal (text-density and link-density
     heuristics)") — every other branch is unchanged, so the reference
     byte-identity contract holds for all non-HTML types in this mode too.
+
+    ``legacy_office=True`` swaps the doc/ppt branches from the
+    reference's informative literals (:601, :769) to real [MS-DOC]/
+    [MS-PPT] parsers (kernels/legacy_office.py) — same default-off
+    pattern; defaults keep all goldens.
     """
     logs: list[str] = []
     ocr_used = False
@@ -356,13 +362,31 @@ def extract_payload(
             text, k_logs = extract_epub(payload or b"")
             logs.extend(k_logs)
         elif file_type == "doc":
-            # reference utils/file_handlers.py:601
-            text = DOC_LEGACY_LITERAL
-            logs.append("Legacy DOC format detected, limited extraction support")
+            if legacy_office:
+                # beyond-reference opt-in: real [MS-DOC] piece-table walk
+                from .legacy_office import extract_doc
+
+                text, k_logs = extract_doc(payload or b"")
+                logs.extend(k_logs)
+            else:
+                # reference utils/file_handlers.py:601
+                text = DOC_LEGACY_LITERAL
+                logs.append(
+                    "Legacy DOC format detected, limited extraction support"
+                )
         elif file_type == "ppt":
-            # reference utils/file_handlers.py:769
-            text = PPT_LEGACY_LITERAL
-            logs.append("Legacy PPT format detected, limited extraction support")
+            if legacy_office:
+                # beyond-reference opt-in: real [MS-PPT] record walk
+                from .legacy_office import extract_ppt
+
+                text, k_logs = extract_ppt(payload or b"")
+                logs.extend(k_logs)
+            else:
+                # reference utils/file_handlers.py:769
+                text = PPT_LEGACY_LITERAL
+                logs.append(
+                    "Legacy PPT format detected, limited extraction support"
+                )
         elif file_type == "xls":
             # reference utils/file_handlers.py:808-829 (pandas path framing,
             # re-expressed as a hand-rolled CFB+BIFF8 walk; the reference
@@ -387,6 +411,7 @@ def extract_payload(
                 inner_url, inner, inner_ct,
                 use_ocr=use_ocr, main_content=main_content,
                 ocr_language=ocr_language, handwriting_mode=handwriting_mode,
+                legacy_office=legacy_office,
             )
             logs.extend(k_logs)
         elif file_type == "gzip":
@@ -407,6 +432,7 @@ def extract_payload(
                 inner_url, inner, inner_ct,
                 use_ocr=use_ocr, main_content=main_content,
                 ocr_language=ocr_language, handwriting_mode=handwriting_mode,
+                legacy_office=legacy_office,
             )
             logs.extend(k_logs)
         elif file_type == "bzip2":
@@ -425,6 +451,7 @@ def extract_payload(
                 inner_url, inner, inner_ct,
                 use_ocr=use_ocr, main_content=main_content,
                 ocr_language=ocr_language, handwriting_mode=handwriting_mode,
+                legacy_office=legacy_office,
             )
             logs.extend(k_logs)
         elif file_type == "msg":

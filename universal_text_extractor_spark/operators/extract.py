@@ -73,6 +73,7 @@ def _branch_udf(
     main_content: bool = False,
     ocr_language: str = "eng",
     handwriting_mode: bool = False,
+    legacy_office: bool = False,
 ):
     """Specialized Arrow UDF for one dispatch-branch family (html / pdf /
     text / office / image). The kernel is invoked per element over an Arrow
@@ -88,6 +89,7 @@ def _branch_udf(
             text, ocr_used, success, error, logs = extract_payload(
                 u, payload, ct, use_ocr=use_ocr, main_content=main_content,
                 ocr_language=ocr_language, handwriting_mode=handwriting_mode,
+                legacy_office=legacy_office,
             )
             rows.append(
                 (text, ocr_used, success, error, logs,
@@ -116,6 +118,7 @@ def extract_pages(
     main_content: bool = False,
     ocr_language: str = "eng",
     handwriting_mode: bool = False,
+    legacy_office: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, …) → extracted DataFrame (EXTRACTED_COLUMNS
     + extracted_at). One shuffle, reused by every branch.
@@ -159,6 +162,7 @@ def extract_pages(
         udf = _branch_udf(
             family, use_ocr=use_ocr, main_content=main_content,
             ocr_language=ocr_language, handwriting_mode=handwriting_mode,
+            legacy_office=legacy_office,
         )
         pred = (
             F.col("content_type") == types[0]
@@ -204,6 +208,7 @@ def extract_pages_fused(
     main_content: bool = False,
     ocr_language: str = "eng",
     handwriting_mode: bool = False,
+    legacy_office: bool = False,
 ) -> DataFrame:
     """Single-pass variant of :func:`extract_pages`: one ``mapInPandas``
     stage dispatches each Arrow batch to the same per-family kernels the
@@ -258,6 +263,7 @@ def extract_pages_fused(
                     u, payload, ct, use_ocr=use_ocr, main_content=main_content,
                     ocr_language=ocr_language,
                     handwriting_mode=handwriting_mode,
+                    legacy_office=legacy_office,
                 )
                 rows.append(
                     (

@@ -118,6 +118,7 @@ def run_extraction(
     fused: bool = True,
     use_ocr: bool = False,
     main_content: bool = False,
+    legacy_office: bool = False,
     ocr_language: str = "eng",
     handwriting_mode: bool = False,
     storage: StorageBackend = DEFAULT_STORAGE,
@@ -249,7 +250,7 @@ def run_extraction(
         extracted = extractor(
             chunk, num_partitions=num_partitions, use_ocr=use_ocr,
             main_content=main_content, ocr_language=ocr_language,
-            handwriting_mode=handwriting_mode,
+            handwriting_mode=handwriting_mode, legacy_office=legacy_office,
         )
         # write-then-publish: data, metrics, manifest — in that order
         storage.write_bucket(extracted, out_dir, b)

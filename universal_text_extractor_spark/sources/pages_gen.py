@@ -2537,6 +2537,94 @@ def make_msg(sender: str, to: str, subject: str, body: str) -> bytes:
     })
 
 
+def make_doc(paragraphs: list[str]) -> bytes:
+    """Minimal Word 97 ``.doc`` writer ([MS-DOC]): FIB (wIdent A5EC,
+    nFib 00C1, ccpText, fcClx/lcbClx) in the WordDocument stream, piece
+    table (Pcdt/PlcPcd) in 0Table. Consecutive cp1252-encodable
+    paragraphs become a "compressed" 8-bit piece (fc = byte-offset*2 with
+    bit 30 set), others a UTF-16LE piece — so multi-piece documents with
+    both encodings exercise the reader's full walk. Independent of
+    kernels/legacy_office.py (own writer ≠ parser)."""
+    import struct as _st
+
+    pieces: list[tuple[str, bool]] = []
+    for p in paragraphs:
+        chunk = p + "\r"
+        try:
+            chunk.encode("cp1252")
+            comp = True
+        except UnicodeEncodeError:
+            comp = False
+        if pieces and pieces[-1][1] == comp:
+            pieces[-1] = (pieces[-1][0] + chunk, comp)
+        else:
+            pieces.append((chunk, comp))
+
+    TEXT_START = 1024
+    buf = bytearray()
+    cps = [0]
+    fcs: list[int] = []
+    cp = 0
+    for chars, comp in pieces:
+        fc_off = TEXT_START + len(buf)
+        if comp:
+            buf += chars.encode("cp1252")
+            fcs.append((fc_off * 2) | 0x40000000)
+        else:
+            buf += chars.encode("utf-16-le")
+            fcs.append(fc_off)
+        cp += len(chars)
+        cps.append(cp)
+
+    plc = b"".join(_st.pack("<I", c) for c in cps) + b"".join(
+        _st.pack("<HIH", 0, fc, 0) for fc in fcs
+    )
+    pcdt = b"\x02" + _st.pack("<I", len(plc)) + plc
+
+    fib = bytearray(TEXT_START)
+    _st.pack_into("<H", fib, 0x0000, 0xA5EC)  # wIdent
+    _st.pack_into("<H", fib, 0x0002, 0x00C1)  # nFib (Word 97)
+    _st.pack_into("<H", fib, 0x000A, 0x0000)  # flags: fWhichTblStm=0
+    _st.pack_into("<H", fib, 0x0020, 0x000E)  # csw
+    _st.pack_into("<H", fib, 0x003E, 0x0016)  # cslw
+    _st.pack_into("<I", fib, 0x004C, cp)  # ccpText
+    _st.pack_into("<H", fib, 0x0098, 0x005D)  # cbRgFcLcb (Word 97)
+    _st.pack_into("<I", fib, 0x01A2, 0)  # fcClx (0Table offset)
+    _st.pack_into("<I", fib, 0x01A6, len(pcdt))  # lcbClx
+    return _cfb_build(
+        {"WordDocument": bytes(fib) + bytes(buf), "0Table": pcdt}
+    )
+
+
+def _ppt_rec(ver_inst: int, rtype: int, body: bytes) -> bytes:
+    import struct as _st
+
+    return _st.pack("<HHI", ver_inst, rtype, len(body)) + body
+
+
+def make_ppt(slides: list[list[str]]) -> bytes:
+    """Minimal PowerPoint 97 ``.ppt`` writer ([MS-PPT]): a Document
+    container (03E8) holding SlideListWithText (0FF0) with one
+    SlidePersistAtom (03F3) per slide followed by TextHeaderAtom (0F9F) +
+    TextBytesAtom (0FA8, cp1252-encodable) or TextCharsAtom (0FA0,
+    UTF-16LE) per text. Independent of kernels/legacy_office.py."""
+    import struct as _st
+
+    slwt = b""
+    for i, texts in enumerate(slides, 1):
+        spa = _st.pack("<IIiII", i, 0, len(texts), 256 + i, 0)
+        slwt += _ppt_rec(0, 0x03F3, spa)
+        for j, t in enumerate(texts):
+            slwt += _ppt_rec(j << 4, 0x0F9F, _st.pack("<I", 0))
+            try:
+                slwt += _ppt_rec(0, 0x0FA8, t.encode("cp1252"))
+            except UnicodeEncodeError:
+                slwt += _ppt_rec(0, 0x0FA0, t.encode("utf-16-le"))
+    doc = _ppt_rec(0xF, 0x03E8, _ppt_rec(0xF, 0x0FF0, slwt))
+    cu = _ppt_rec(0, 0x0FF6, _st.pack("<IIIIHH", 20, 0xE391C05F, 0, 0, 3, 0))
+    return _cfb_build({"Current User": cu, "PowerPoint Document": doc})
+
+
 def _cfb_build(streams: dict[str, bytes]) -> bytes:
     """OLE2/CFB v3 writer (multi-stream): streams ≥ 4096 bytes get regular
     FAT chains, smaller ones are packed into the root entry's mini-stream
