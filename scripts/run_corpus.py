@@ -43,6 +43,12 @@ def main() -> None:
     ap.add_argument("--use-ocr", action="store_true")
     ap.add_argument("--main-content", action="store_true")
     args = ap.parse_args()
+    if args.near_dup_closure and args.no_verify_jaccard:
+        ap.error(
+            "--near-dup-closure requires the verified-pair path; "
+            "drop --no-verify-jaccard (closure is defined over the "
+            "verified-pair graph)"
+        )
 
     from pyspark.sql import SparkSession
 

@@ -277,3 +277,59 @@ def test_closure_vs_keep_first_differ_on_chains(spark, tmp_path):
     kept_cl = {r["url"] for r in spark.read.parquet(f"{out_cl}/corpus").collect()}
     assert kept_cl == {ua}, kept_cl  # one survivor per component: min id = A
     assert stats_cl["near_dup_unique"] == 1
+
+
+def test_connected_components_warns_on_non_convergence(spark):
+    """ADVICE r4: a chain longer than max_iters hops can't converge — the
+    loop must WARN (reduced closure recall is a visible signal), and a
+    sufficient max_iters on the same graph must stay silent."""
+    import warnings
+
+    import pytest
+
+    from universal_text_extractor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = list(range(100, 108))  # 7 edges; min-label needs 7 rounds
+    pairs = spark.createDataFrame(
+        list(zip(chain, chain[1:])), schema="doc_a long, doc_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        labels = connected_components(pairs, max_iters=2)
+    # still returns a label per node, just split
+    assert labels.count() == len(chain)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        done = connected_components(pairs, max_iters=10)
+    assert {r["component"] for r in done.collect()} == {100}
+
+
+def test_closure_without_verify_jaccard_raises(spark, tmp_path):
+    """ADVICE r4: closure semantics need the verified-pair graph —
+    requesting closure with the pair-free bucket-min path must error, not
+    silently fall back."""
+    import pytest
+
+    from universal_text_extractor_spark.plans.corpus import near_dup_purged
+
+    docs = spark.createDataFrame(
+        [(1, "u", "s", "en", "some text here", 14)],
+        schema="doc_id long, url string, source string, lang string, "
+        "text string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="verified-pair"):
+        near_dup_purged(docs, verify_jaccard=False, closure=True)
+    with pytest.raises(ValueError, match="verified-pair"):
+        build_training_corpus(
+            spark,
+            None,
+            str(tmp_path / "x"),
+            extracted=spark.createDataFrame(
+                [("https://x.ex/a", "hello world text", True)],
+                schema="url string, text string, success boolean",
+            ),
+            verify_jaccard=False,
+            near_dup_closure=True,
+        )

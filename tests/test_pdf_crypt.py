@@ -263,3 +263,29 @@ def test_id_marker_in_payload_does_not_poison_file_key():
         b" and /Encrypt 99 0 R)\nendobj\n"
     )
     assert extract_pdf(tampered)[0] == want
+
+
+def test_encrypted_pdf_with_damaged_trailer_still_decrypts():
+    """ADVICE r4 (low): an encrypted PDF whose trailer KEYWORD is damaged
+    (so no trailer-context dict parses at all) must not be treated as
+    plaintext — the whole-payload fallback scan resolves the /Encrypt
+    object, checks it structurally looks like a crypt dict, and decrypts
+    with the regex-recovered /ID."""
+    enc = _pdf_doc_pages(random.Random(11), 2, True, encrypt="rc4-128")
+    want = extract_pdf(enc)[0]
+    assert want != CORRUPT_LITERAL
+    damaged = enc.replace(b"trailer", b"tr@iler")
+    assert damaged != enc  # the fixture really is classic-trailer
+    assert extract_pdf(damaged)[0] == want
+
+
+def test_damaged_trailer_plus_encrypt_decoy_stays_plaintext():
+    """The r4 false-positive class stays closed under the fallback: a
+    PLAINTEXT document with a damaged trailer and an '/Encrypt 1 0 R'
+    decoy in page prose resolves to the Catalog dict — structurally not
+    a crypt dict — so extraction proceeds as plaintext."""
+    pdf = _minimal_pdf_with_string(b"see /Encrypt 1 0 R marker in prose")
+    damaged = pdf.replace(b"trailer", b"tr@iler")
+    text = extract_pdf(damaged)[0]
+    assert text != CORRUPT_LITERAL
+    assert "see /Encrypt 1 0 R marker in prose" in text

@@ -214,25 +214,61 @@ def _trailer_dicts(payload: bytes, objs):
     return [d for _pos, d in found]
 
 
+_ENC_FALLBACK_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R\b")
+_ID_FALLBACK_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+
+
 def _find_crypt(payload: bytes, objs, gens):
     """Locate /Encrypt in a trailer (classic or xref-stream dict) and build
     the standard-security-handler decryptor (kernels/pdf_crypt.py). Returns
     None (unencrypted), a StdDecryptor (empty-user-password document — the
     kind PyMuPDF opens transparently, reference utils/file_handlers.py:262),
     or UnsupportedEncryption. Incremental-update semantics: the LAST
-    trailer-context dict carrying each key wins."""
+    trailer-context dict carrying each key wins.
+
+    Damaged-trailer fallback (ADVICE r4): when the document yields NO
+    parsable trailer-context dict at all (exotic syntax, corruption) the
+    trailer-scoped lookup alone would silently treat an encrypted file as
+    plaintext and emit success-flagged garbled text. In that one case we
+    fall back to the pre-r4 whole-payload scan, but gated twice so the r4
+    false-positive class stays closed: the ``/Encrypt N G R`` byte pattern
+    must RESOLVE to an object that structurally looks like an encryption
+    dict (/Filter, /V or /R present) before the document is treated as
+    encrypted — content-stream bytes that merely mention /Encrypt do not
+    resolve to such a dict."""
     enc_ref = None
     file_id = b""
-    for d in _trailer_dicts(payload, objs):
+    dicts = _trailer_dicts(payload, objs)
+    for d in dicts:
         if "/Encrypt" in d:
             enc_ref = d["/Encrypt"]
         ids = d.get("/ID")
         if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
             file_id = ids[0]
-    if enc_ref is None:
-        return None
     from .pdf_crypt import UnsupportedEncryption, make_handler
 
+    if enc_ref is None and not dicts:
+        last = None
+        for m in _ENC_FALLBACK_RE.finditer(payload):
+            last = m
+        if last is not None:
+            cand = _resolve(objs, _Ref(int(last.group(1))))
+            if isinstance(cand, dict) and (
+                "/Filter" in cand or "/V" in cand or "/R" in cand
+            ):
+                idm = None
+                for m in _ID_FALLBACK_RE.finditer(payload):
+                    idm = m
+                if idm is not None:
+                    try:
+                        file_id = bytes.fromhex(
+                            re.sub(rb"\s+", b"", idm.group(1)).decode("ascii")
+                        )
+                    except ValueError:
+                        file_id = b""
+                return make_handler(cand, file_id, gens)
+    if enc_ref is None:
+        return None
     enc = _resolve(objs, enc_ref)
     if not isinstance(enc, dict):
         return UnsupportedEncryption("unresolvable /Encrypt dict")

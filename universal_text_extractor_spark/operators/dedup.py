@@ -455,6 +455,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     label set is ``localCheckpoint``-ed: iterative self-referencing
     lineage otherwise grows the logical plan geometrically (measured: the
     un-truncated plan STRING alone OOM'd the driver at 12 rounds).
+
+    Non-convergence (ADVICE r4): a component whose min-label eccentricity
+    exceeds ``max_iters`` (a >25-hop chain) would exit the loop still
+    split — closure-mode callers would silently keep multiple survivors
+    per component. That case now emits a ``RuntimeWarning`` so reduced
+    recall is a visible signal, not a quiet wrong answer.
     """
     sym = pairs.select("doc_a", "doc_b").union(
         pairs.select(
@@ -470,6 +476,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    changed = -1  # -1 = loop never ran to convergence check
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
@@ -496,4 +503,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iters} "
+            f"rounds (last round still relabeled {changed} nodes): "
+            "components with min-label eccentricity > max_iters remain "
+            "split, so closure-mode dedup keeps extra survivors. Raise "
+            "max_iters for long-chain graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

@@ -98,6 +98,15 @@ def near_dup_purged(
 ) -> DataFrame:
     """Near-dup purge stage plan — the three production variants (see
     build_training_corpus for semantics)."""
+    if closure and not verify_jaccard:
+        # ADVICE r4: closure semantics are defined over the VERIFIED pair
+        # graph; silently falling back to bucket-min here surprised
+        # `--near-dup-closure --no-verify-jaccard` callers.
+        raise ValueError(
+            "near_dup_closure requires verify_jaccard=True (closure is "
+            "defined over the verified-pair graph; the bucket-min fast "
+            "path materializes no pairs)"
+        )
     if verify_jaccard:
         pairs = minhash_lsh_pairs(exact, threshold=threshold)
         if closure:
@@ -160,6 +169,13 @@ def build_training_corpus(
     can kill a non-duplicate); production crawls take it at 100 TB,
     which is why it exists here. Default stays the exact verified path
     (``near_dup_threshold`` applies there)."""
+    if near_dup_closure and not verify_jaccard:
+        # fail before any staging work — same contract as near_dup_purged
+        raise ValueError(
+            "near_dup_closure requires verify_jaccard=True (closure is "
+            "defined over the verified-pair graph; the bucket-min fast "
+            "path materializes no pairs)"
+        )
     if extracted is None:
         if pages is None:
             raise ValueError("need pages or extracted")
