@@ -177,7 +177,16 @@ def test_stage_scratch_cleaned_and_no_caching(spark, tmp_path):
     out = tmp_path / "staged"
     build_training_corpus(spark, df, str(out), num_partitions=2)
     names = sorted(p.name for p in out.iterdir())
-    assert names == ["corpus", "stats"], names
+    assert names == ["corpus", "stage_metrics", "stats"], names
+    # r4 verdict item #7: per-stage wall + bytes are recorded so a
+    # regression in one stage is attributable without a full re-run
+    sm = {
+        r["stage"]: r
+        for r in spark.read.parquet(str(out / "stage_metrics")).collect()
+    }
+    assert set(sm) == {"framed", "quality", "exact", "shingles", "corpus"}
+    assert all(r["wall_sec"] > 0 and r["out_bytes"] > 0 for r in sm.values())
+    assert sm["framed"]["rows"] >= sm["quality"]["rows"] >= sm["corpus"]["rows"]
 
 
 def test_connected_components_vs_union_find_oracle(spark):
@@ -333,3 +342,43 @@ def test_closure_without_verify_jaccard_raises(spark, tmp_path):
             verify_jaccard=False,
             near_dup_closure=True,
         )
+
+
+def test_minhash_pairs_from_staged_flat_equals_pure_operator(spark, tmp_path):
+    """r4 verdict item #2's correctness lock: verified pairs computed from
+    a STAGED (parquet-materialized) flat-shingle relation are identical to
+    the pure-plan operator's — the staging is a physical choice, not a
+    semantic one."""
+    import random
+
+    from pyspark.sql import Row
+
+    from universal_text_extractor_spark.operators.dedup import (
+        _shingles_flat,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_from_flat,
+    )
+
+    rng = random.Random(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = [" ".join(rng.choices(words, k=30)) for _ in range(20)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(base)]
+        # planted near-clones: same prefix, one-word tail change
+        + [Row(doc_id=100 + i, text=base[i] + " omega") for i in range(5)],
+        schema="doc_id long, text string",
+    )
+    want = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.5).collect()))
+    assert want, "fixture must produce at least one verified pair"
+
+    staged = str(tmp_path / "flat")
+    _shingles_flat(docs).write.parquet(staged)
+    got = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs_from_flat(
+                spark.read.parquet(staged), threshold=0.5
+            ).collect(),
+        )
+    )
+    assert got == want

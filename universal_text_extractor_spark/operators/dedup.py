@@ -200,6 +200,25 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signatures_from_flat(flat: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>[NUM_MINHASHES]) from a precomputed flat
+    (doc_id, shingle) relation — the shape :func:`minhash_signatures`
+    wraps, exposed so pipelines that MATERIALIZE the flat shingles once
+    (plans/corpus.py stages them to parquet, r4 verdict item #2) can
+    derive signatures, bands, and the Jaccard verify from the same staged
+    rows instead of re-deriving the explode/window/distinct subtree per
+    consumer."""
+    h = flat.select("doc_id", md5_long(F.col("shingle")).alias("h"))
+    mins = h.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(seed))).alias(f"m{j}")
+            for j, seed in enumerate(XOR_SEEDS)
+        ]
+    )
+    sig = F.array(*[F.col(f"m{j}") for j in range(NUM_MINHASHES)])
+    return mins.select("doc_id", sig.alias("sig"))
+
+
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, sig array<long>[NUM_MINHASHES]) — md5-seeded MinHash,
     reproducible in the DuckDB oracle.
@@ -211,26 +230,13 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     on 5k docs; the exploded flat pipeline stays inside whole-stage
     codegen end-to-end (measured ~4× faster) and, at 100 TB, lets the
     min-aggregation combine map-side before any shuffle."""
-    h = _shingles_flat(documents).select(
-        "doc_id", md5_long(F.col("shingle")).alias("h")
-    )
-    mins = h.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("h").bitwiseXOR(F.lit(seed))).alias(f"m{j}")
-            for j, seed in enumerate(XOR_SEEDS)
-        ]
-    )
-    sig = F.array(*[F.col(f"m{j}") for j in range(NUM_MINHASHES)])
-    return mins.select("doc_id", sig.alias("sig"))
+    return minhash_signatures_from_flat(_shingles_flat(documents))
 
 
-def lsh_bands(documents: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) — the banded MinHash signature rows
-    (LSH_BANDS bands × NUM_MINHASHES/LSH_BANDS rows per bucket key).
-    Shared by the pair-generating path below and the pair-free
-    bucket-min purge in plans/corpus.py."""
+def lsh_bands_from_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) from a precomputed signatures relation —
+    see :func:`minhash_signatures_from_flat` for why this is split out."""
     rows_per_band = NUM_MINHASHES // LSH_BANDS
-    sigs = minhash_signatures(documents)
     return sigs.select(
         "doc_id",
         F.explode(
@@ -253,11 +259,26 @@ def lsh_bands(documents: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
-def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """MinHash+LSH near-dup candidates: band the signature (LSH_BANDS bands
-    × NUM_MINHASHES/LSH_BANDS rows), bucket-join per band, dedupe candidate
-    pairs, verify with true Jaccard. Returns (doc_a, doc_b, jaccard)."""
-    bands = lsh_bands(documents)
+def lsh_bands(documents: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — the banded MinHash signature rows
+    (LSH_BANDS bands × NUM_MINHASHES/LSH_BANDS rows per bucket key).
+    Shared by the pair-generating path below and the pair-free
+    bucket-min purge in plans/corpus.py."""
+    return lsh_bands_from_sigs(minhash_signatures(documents))
+
+
+def minhash_lsh_pairs_from_flat(
+    flat: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` over a precomputed flat (doc_id, shingle)
+    relation. When ``flat`` is a STAGED parquet read (plans/corpus.py),
+    every consumer of the shingle rows — signature aggregate, both sides
+    of the candidate-intersection join, the per-doc counts — becomes a
+    columnar re-scan of the same files instead of an independent
+    re-derivation of the explode→window→distinct subtree (the r4 verdict
+    measured the re-derivation as the verified-pair path's 3×-over-
+    bucket-min cost)."""
+    bands = lsh_bands_from_sigs(minhash_signatures_from_flat(flat))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -273,7 +294,6 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     # verify with true Jaccard, flat-shingle formulation: |∩| via a join on
     # the shingle rows of only the candidate docs (semi-joined), then
     # |A∪B| = na + nb − |∩|. No per-doc arrays are materialized.
-    flat = _shingles_flat(documents)
     counts = _shingle_counts(flat)
     fa = flat.select(F.col("doc_id").alias("doc_a"), "shingle")
     fb = flat.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -294,6 +314,13 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
         joined.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the signature (LSH_BANDS bands
+    × NUM_MINHASHES/LSH_BANDS rows), bucket-join per band, dedupe candidate
+    pairs, verify with true Jaccard. Returns (doc_a, doc_b, jaccard)."""
+    return minhash_lsh_pairs_from_flat(_shingles_flat(documents), threshold)
 
 
 def simhash_col(text: Column, bits: int = 16) -> Column:

@@ -36,9 +36,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    _shingles_flat,
     connected_components,
+    lsh_bands_from_sigs,
     md5_long,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_from_flat,
+    minhash_signatures_from_flat,
     normalized_text_col,
 )
 from ..operators.extract import extract_pages_fused
@@ -95,9 +99,17 @@ def near_dup_purged(
     threshold: float = 0.7,
     verify_jaccard: bool = True,
     closure: bool = False,
+    flat: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup purge stage plan — the three production variants (see
-    build_training_corpus for semantics)."""
+    build_training_corpus for semantics).
+
+    ``flat``: an optional precomputed (doc_id, shingle) relation for
+    ``exact`` — build_training_corpus passes its STAGED parquet read so
+    the signature/band/verify consumers re-scan one materialization
+    instead of re-deriving the explode→window→distinct subtree per use
+    (r4 verdict item #2: that re-derivation was the verified-pair path's
+    3× cost over bucket-min)."""
     if closure and not verify_jaccard:
         # ADVICE r4: closure semantics are defined over the VERIFIED pair
         # graph; silently falling back to bucket-min here surprised
@@ -108,7 +120,10 @@ def near_dup_purged(
             "path materializes no pairs)"
         )
     if verify_jaccard:
-        pairs = minhash_lsh_pairs(exact, threshold=threshold)
+        if flat is not None:
+            pairs = minhash_lsh_pairs_from_flat(flat, threshold=threshold)
+        else:
+            pairs = minhash_lsh_pairs(exact, threshold=threshold)
         if closure:
             labels = connected_components(pairs)
             doomed = labels.filter(
@@ -116,6 +131,17 @@ def near_dup_purged(
             ).select("doc_id")
         else:
             doomed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    elif flat is not None:
+        bands = lsh_bands_from_sigs(minhash_signatures_from_flat(flat))
+        bucket_min = bands.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("min_id")
+        )
+        doomed = (
+            bands.join(bucket_min, ["band", "bucket"])
+            .filter(F.col("doc_id") != F.col("min_id"))
+            .select("doc_id")
+            .distinct()
+        )
     else:
         # bucket-min kill: keep a doc iff it IS the min of every bucket
         # it lands in (equivalently: one anti-join against the set of
@@ -185,12 +211,30 @@ def build_training_corpus(
             use_ocr=use_ocr,
             main_content=main_content,
         )
+    import time
+
     stage_dir = f"{out_dir}/_stage"
-    frame_documents(extracted).write.mode("overwrite").parquet(
-        f"{stage_dir}/framed"
+    stage_metrics: list[tuple[str, int, float, int]] = []
+
+    def _staged_write(df: DataFrame, path: str, stage: str) -> DataFrame:
+        """Write a stage boundary to parquet, re-read it, and record the
+        per-stage wall + output bytes (r4 verdict item #7: attributable
+        regressions without re-running the whole pipeline). Counting via
+        parquet footers stays free; bytes via a local dir walk (out_dir
+        is local-FS by design, same policy as plans/storage.py)."""
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(path)
+        wall = time.time() - t0
+        out = spark.read.parquet(path)
+        stage_metrics.append(
+            (stage, out.count(), round(wall, 3), _dir_bytes(path))
+        )
+        return out
+
+    docs = _staged_write(
+        frame_documents(extracted), f"{stage_dir}/framed", "framed"
     )
-    docs = spark.read.parquet(f"{stage_dir}/framed")
-    stats = {"extracted_ok": docs.count()}  # parquet footer count: no scan
+    stats = {"extracted_ok": stage_metrics[-1][1]}  # footer count: no scan
 
     if lang_allow:
         docs = docs.filter(F.col("lang").isin(*lang_allow))
@@ -198,37 +242,51 @@ def build_training_corpus(
 
     # quality purge; staged so the shingle explosion below re-reads it
     # from disk instead of executor memory
-    quality_filter(docs, min_alpha_ratio, min_tokens).write.mode(
-        "overwrite"
-    ).parquet(f"{stage_dir}/quality")
-    quality = spark.read.parquet(f"{stage_dir}/quality")
-    stats["quality_kept"] = quality.count()
-
-    exact_unique(quality).write.mode("overwrite").parquet(
-        f"{stage_dir}/exact"
+    quality = _staged_write(
+        quality_filter(docs, min_alpha_ratio, min_tokens),
+        f"{stage_dir}/quality",
+        "quality",
     )
-    exact = spark.read.parquet(f"{stage_dir}/exact")
-    stats["exact_unique"] = exact.count()
+    stats["quality_kept"] = stage_metrics[-1][1]
+
+    exact = _staged_write(
+        exact_unique(quality), f"{stage_dir}/exact", "exact"
+    )
+    stats["exact_unique"] = stage_metrics[-1][1]
 
     # near-dup purge: keep-first (a doc that is the HIGHER id of any
     # verified pair dies), transitive closure (r3 verdict item #6: ONE
     # survivor per verified-pair component — differs from keep-first on
     # chains, where keep-first keeps both endpoints), or the pair-free
-    # bucket-min fast path
+    # bucket-min fast path. The verified-pair variants consume the flat
+    # shingle rows FOUR times (signatures, both sides of the candidate
+    # intersection, per-doc counts) — staging them once to parquet turns
+    # each consumer into a columnar re-scan (r4 verdict item #2: the
+    # re-derivation was the 3× gap over bucket-min). Bucket-min uses the
+    # shingles exactly once, so staging would be pure overhead there.
+    flat = None
+    if verify_jaccard:
+        flat = _staged_write(
+            _shingles_flat(exact), f"{stage_dir}/shingles", "shingles"
+        )
     corpus = near_dup_purged(
         exact,
         threshold=near_dup_threshold,
         verify_jaccard=verify_jaccard,
         closure=near_dup_closure,
+        flat=flat,
     )
 
-    corpus.write.mode("overwrite").parquet(f"{out_dir}/corpus")
-    final = spark.read.parquet(f"{out_dir}/corpus")
-    stats["near_dup_unique"] = final.count()
+    _staged_write(corpus, f"{out_dir}/corpus", "corpus")
+    stats["near_dup_unique"] = stage_metrics[-1][1]
 
     spark.createDataFrame(
         [tuple(stats.values())], schema=", ".join(f"{k} long" for k in stats)
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    spark.createDataFrame(
+        stage_metrics,
+        schema="stage string, rows long, wall_sec double, out_bytes long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stage_metrics")
 
     # drop the stage scratch (local-FS out_dir by design — same policy as
     # plans/storage.py)
@@ -239,3 +297,21 @@ def build_training_corpus(
     if p.scheme in ("", "file"):
         shutil.rmtree(p.path or stage_dir, ignore_errors=True)
     return stats
+
+
+def _dir_bytes(path: str) -> int:
+    """Total bytes under a local parquet dir (0 for non-local paths)."""
+    import os
+    from urllib.parse import urlparse
+
+    p = urlparse(path)
+    if p.scheme not in ("", "file"):
+        return 0
+    total = 0
+    for root, _dirs, files in os.walk(p.path or path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
