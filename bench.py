@@ -75,9 +75,15 @@ HEADLINE = [
 ]
 
 
-def _session(cores: int, shuffle_partitions: int | None = None):
+LOG_DIR = REPO / "BENCH" / "logs"
+
+
+def _session(
+    cores: int, shuffle_partitions: int | None = None, corpus: bool = False
+):
     from pyspark.sql import SparkSession
 
+    LOG_DIR.mkdir(parents=True, exist_ok=True)
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"utes-bench-{cores}")
@@ -87,17 +93,36 @@ def _session(cores: int, shuffle_partitions: int | None = None):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # a dead JVM must leave a diagnosis (r4: the corpus-phase JVM
+        # vanished and took the round's perf record with it)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+HeapDumpOnOutOfMemoryError "
+            f"-XX:HeapDumpPath={LOG_DIR} "
+            f"-XX:ErrorFile={LOG_DIR}/hs_err_%p.log",
+        )
         # zstd compresses the html shuffle payload ~3-4x better than lz4 —
         # on a cluster that's network bandwidth, here it's disk I/O either
         # way it's the scaling-relevant resource.
         .config("spark.io.compression.codec", "zstd")
     )
-    if os.path.isdir(os.path.dirname(SHUFFLE_DIR) or "/"):
-        # tmpfs shuffle dirs: local[k] has one fixed disk, a k-executor
-        # cluster has k disks — RAM-backed shuffle restores the
-        # bandwidth-scales-with-executors property the north rule assumes.
-        b = b.config("spark.local.dir", SHUFFLE_DIR)
+    if corpus:
+        # r4 verdict finding #2: the corpus phase's JVM died under the
+        # bench's aggressive memory posture — 64 MB broadcast threshold
+        # (AQE happily broadcasts a mis-estimated side of the near-dup
+        # verify join) plus tmpfs shuffle dirs whose bytes count against
+        # the same RAM budget as the 16 g heap. The corpus phase is a
+        # robustness benchmark, not a shuffle-bandwidth one: default
+        # (10 MB) broadcast threshold, disk-backed shuffle.
+        pass
+    else:
+        b = b.config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        if os.path.isdir(os.path.dirname(SHUFFLE_DIR) or "/"):
+            # tmpfs shuffle dirs: local[k] has one fixed disk, a
+            # k-executor cluster has k disks — RAM-backed shuffle restores
+            # the bandwidth-scales-with-executors property the north rule
+            # assumes.
+            b = b.config("spark.local.dir", SHUFFLE_DIR)
     s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     return s
@@ -184,7 +209,7 @@ def extraction_throughput(cores: int, mode: str = "fused") -> dict:
 
 
 CORPUS_ROWS = int(os.environ.get("UTES_BENCH_CORPUS_ROWS", "20000"))
-CORPUS_REPS = int(os.environ.get("UTES_BENCH_CORPUS_REPS", "2"))
+CORPUS_REPS = int(os.environ.get("UTES_BENCH_CORPUS_REPS", "3"))
 
 
 def corpus_throughput(cores: int) -> dict:
@@ -193,11 +218,16 @@ def corpus_throughput(cores: int) -> dict:
     end-to-end at the high parallelism level for BOTH near-dup modes
     (verified-pair keep-first and the pair-free bucket-min fast path), so
     regressions in the LEFT SEMI/ANTI shapes get caught like any headline
-    query's. Fixed-seed generated pages (index-pure, deterministic);
-    best-of-CORPUS_REPS per mode — measured same-code walls swing 1.5-3×
-    between windows here (the verify join is long-tailed under host
-    noise), so a single rep is not comparable across rounds."""
+    query's. Fixed-seed generated pages (index-pure, deterministic).
+
+    Protocol (r4 verdict finding #3 — same-code walls swung 2-3× between
+    runs): MEDIAN of CORPUS_REPS walls with the full spread recorded, and
+    the per-stage (wall, rows, bytes) metrics from out_dir/stage_metrics
+    alongside — a regression shows up as one stage's attribution, not an
+    unexplained total. The session runs the de-risked corpus profile
+    (default broadcast threshold, disk shuffle — r4 finding #2)."""
     import shutil
+    import statistics
     import tempfile
 
     from universal_text_extractor_spark.plans.corpus import (
@@ -211,13 +241,14 @@ def corpus_throughput(cores: int) -> dict:
     for mode, verify in (("verified_pair", True), ("bucket_min", False)):
         walls = []
         stats: dict = {}
+        stages: list[dict] = []
         for _ in range(max(CORPUS_REPS, 1)):
             # fresh session per rep: broadcast cleanup is GC-driven, and
             # reps sharing one JVM accumulated enough stale broadcasts
             # under the bench's 64MB threshold to OOM the broadcast build
             # (measured: notEnoughMemoryToBuildAndBroadcastTableError on
             # rep 2+). Session lifecycle stays OUTSIDE the timed span.
-            spark = _session(cores, shuffle_partitions=cores)
+            spark = _session(cores, shuffle_partitions=cores, corpus=True)
             pages = generate_pages_df(spark, CORPUS_ROWS, partitions=cores * 2)
             d = tempfile.mkdtemp(prefix=f"utes-corpus-{mode}-")
             try:
@@ -227,43 +258,96 @@ def corpus_throughput(cores: int) -> dict:
                     verify_jaccard=verify, num_partitions=cores * 2,
                 )
                 walls.append(time.time() - t0)
+                stages.append(
+                    {
+                        r["stage"]: {
+                            "wall_sec": r["wall_sec"],
+                            "rows": r["rows"],
+                            "mb": round(r["out_bytes"] / 1e6, 2),
+                        }
+                        for r in spark.read.parquet(
+                            f"{d}/stage_metrics"
+                        ).collect()
+                    }
+                )
             finally:
                 shutil.rmtree(d, ignore_errors=True)
                 spark.stop()
-        wall = min(walls)
+        wall = statistics.median(walls)
+        # per-stage medians across reps (noise-resistant attribution)
+        stage_med = {
+            st: {
+                "wall_sec": round(
+                    statistics.median(s[st]["wall_sec"] for s in stages), 3
+                ),
+                "rows": stages[0][st]["rows"],
+                "mb": stages[0][st]["mb"],
+            }
+            for st in stages[0]
+        }
         result[mode] = {
             "wall_sec": round(wall, 3),
             "all_walls": [round(w, 1) for w in walls],
+            "spread_pct": round(
+                100 * (max(walls) - min(walls)) / wall, 1
+            ),
             "pages_per_sec": round(CORPUS_ROWS / wall, 1),
             "stage_counts": stats,
+            "stages": stage_med,
         }
     return result
 
 
-def _subprocess_corpus(cores: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, __file__, "--corpus-level", str(cores)],
-        capture_output=True,
-        text=True,
-        timeout=3000,
-        cwd=str(REPO),
-    )
+def _subprocess_phase(args: list[str], tag: str, timeout: int = 3000) -> dict:
+    """Run one bench phase in a clean JVM; NEVER raises (r4 lost the whole
+    perf record to one subprocess crash). On failure returns
+    {"error": ...} and writes the subprocess's full stderr — which
+    includes the Spark JVM's stderr in local mode — to BENCH/logs/ so a
+    dead JVM leaves a diagnosis."""
+    LOG_DIR.mkdir(parents=True, exist_ok=True)
+    log = LOG_DIR / f"{tag}.stderr"
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, *args],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=str(REPO),
+        )
+    except subprocess.TimeoutExpired as e:
+        log.write_text(
+            (e.stderr or b"").decode("utf-8", "replace")
+            if isinstance(e.stderr, bytes)
+            else (e.stderr or "")
+        )
+        return {"error": f"{tag}: timeout after {timeout}s", "log": str(log)}
+    log.write_text(out.stderr or "")
     if out.returncode != 0:
-        raise RuntimeError(f"corpus bench @{cores} failed:\n{out.stderr[-2000:]}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+        return {
+            "error": f"{tag}: rc={out.returncode}",
+            "stderr_tail": (out.stderr or "")[-1500:],
+            "log": str(log),
+        }
+    try:
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001 — phase isolation by contract
+        return {
+            "error": f"{tag}: unparsable output ({e})",
+            "stdout_tail": (out.stdout or "")[-500:],
+            "log": str(log),
+        }
+
+
+def _subprocess_corpus(cores: int) -> dict:
+    return _subprocess_phase(
+        ["--corpus-level", str(cores)], f"corpus_{cores}c", timeout=3600
+    )
 
 
 def _subprocess_extract(cores: int, mode: str = "fused") -> dict:
-    out = subprocess.run(
-        [sys.executable, __file__, "--extract-level", str(cores), mode],
-        capture_output=True,
-        text=True,
-        timeout=3000,
-        cwd=str(REPO),
+    return _subprocess_phase(
+        ["--extract-level", str(cores), mode], f"extract_{mode}_{cores}c"
     )
-    if out.returncode != 0:
-        raise RuntimeError(f"extract bench @{cores} failed:\n{out.stderr[-2000:]}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def run_headline(spark, reps: int = 3) -> dict[str, float]:
@@ -300,51 +384,85 @@ def main() -> None:
         print(json.dumps(corpus_throughput(int(sys.argv[2]))))
         return
 
-    ensure_bench_pages()
     lo_cores, hi_cores = LO_CORES, HI_CORES
+    result: dict = {
+        "metric": "headline_queries_total_sec+extraction_scaling",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    }
 
-    spark = _session(CPUS)
-    qtimes = run_headline(spark)
-    spark.stop()
+    def _checkpoint(phase: str) -> None:
+        # r4 verdict item #1a: every phase's result is persisted the
+        # moment it completes — a later phase's crash can no longer
+        # destroy an earlier phase's numbers
+        (REPO / "BENCH").mkdir(exist_ok=True)
+        (REPO / "BENCH" / "partial.json").write_text(json.dumps(result))
+        print(f"[bench] phase done: {phase}", file=sys.stderr, flush=True)
 
+    # ---- Phase A: headline queries ------------------------------------
+    try:
+        ensure_bench_pages()
+        spark = _session(CPUS)
+        qtimes = run_headline(spark)
+        spark.stop()
+        result["queries"] = qtimes
+        result["value"] = round(sum(qtimes.values()), 3)
+    except Exception as e:  # noqa: BLE001 — phase isolation by contract
+        result["queries"] = {"error": f"headline phase failed: {e}"}
+    _checkpoint("A headline")
+
+    # ---- Phase B: extraction scaling (clean JVM per level) ------------
     lo = _subprocess_extract(lo_cores)
     hi = _subprocess_extract(hi_cores)
     # one filter+union run at the high level: the north-star branch plan's
     # own number, for the architecture record
     union_hi = _subprocess_extract(hi_cores, mode="union")
-    corpus = _subprocess_corpus(hi_cores)
-    eff = round(
-        (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cores / lo_cores), 3
-    )
-
-    result = {
-        "metric": "headline_queries_total_sec+extraction_scaling",
-        "value": round(sum(qtimes.values()), 3),
-        "unit": "sec",
-        "queries": qtimes,
-        "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "extraction": {
-            "rows": BENCH_ROWS,
-            "low": lo,
-            "high": hi,
-            "union_high": union_hi,
-            "scaling_efficiency": eff,
-            "scaling_target": 0.8,
-        },
-        "corpus": corpus,
+    ex: dict = {
+        "rows": BENCH_ROWS,
+        "low": lo,
+        "high": hi,
+        "union_high": union_hi,
+        "scaling_target": 0.8,
     }
-    _write_baseline_md(result)
+    if "error" not in lo and "error" not in hi:
+        ex["scaling_efficiency"] = round(
+            (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cores / lo_cores),
+            3,
+        )
+    result["extraction"] = ex
+    _checkpoint("B extraction")
+
+    # ---- Phase C: corpus pipeline (isolated; errors are data) ---------
+    result["corpus"] = _subprocess_corpus(hi_cores)
+    _checkpoint("C corpus")
+
+    try:
+        _write_baseline_md(result)
+    except Exception as e:  # noqa: BLE001 — the JSON line still ships
+        print(f"[bench] BASELINE.md write failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 
 def _write_baseline_md(result: dict) -> None:
     bdir = REPO / "BENCH"
     bdir.mkdir(exist_ok=True)
-    ex = result["extraction"]
+    ex = result.get("extraction", {})
+
+    def _exrow(key: str, path: str) -> str:
+        r = ex.get(key, {})
+        if "error" in r:
+            return f"| — | {path} | ERROR: {r['error']} | | | | |"
+        return (
+            f"| {r['cores']} | {path} | {r['wall_sec']} | {r['all_walls']} "
+            f"| {r['docs_per_sec']} | {r['mb_per_sec']} | {r['failures']} |"
+        )
+
     lines = [
         "# BENCH/BASELINE.md — measured numbers",
         "",
-        f"Generated by `bench.py` (sf dir: {SF_DIR}, bench rows: {ex['rows']}).",
+        f"Generated by `bench.py` (sf dir: {SF_DIR}, bench rows: {ex.get('rows')}).",
         "",
         "## Extraction throughput (two parallelism levels, same input/code)",
         "",
@@ -356,12 +474,13 @@ def _write_baseline_md(result: dict) -> None:
         "",
         "| cores | path | wall (s) | all walls | docs/sec | MB/sec | failures |",
         "|---|---|---|---|---|---|---|",
-        f"| {ex['low']['cores']} | fused | {ex['low']['wall_sec']} | {ex['low']['all_walls']} | {ex['low']['docs_per_sec']} | {ex['low']['mb_per_sec']} | {ex['low']['failures']} |",
-        f"| {ex['high']['cores']} | fused | {ex['high']['wall_sec']} | {ex['high']['all_walls']} | {ex['high']['docs_per_sec']} | {ex['high']['mb_per_sec']} | {ex['high']['failures']} |",
-        f"| {ex['union_high']['cores']} | filter+union | {ex['union_high']['wall_sec']} | {ex['union_high']['all_walls']} | {ex['union_high']['docs_per_sec']} | {ex['union_high']['mb_per_sec']} | {ex['union_high']['failures']} |",
+        _exrow("low", "fused"),
+        _exrow("high", "fused"),
+        _exrow("union_high", "filter+union"),
         "",
-        f"**Scaling efficiency {ex['low']['cores']}→{ex['high']['cores']} cores: "
-        f"{ex['scaling_efficiency']}** (target ≥ {ex['scaling_target']}, north rule; "
+        f"**Scaling efficiency {LO_CORES}→{HI_CORES} cores: "
+        f"{ex.get('scaling_efficiency', 'n/a (a level failed)')}** "
+        f"(target ≥ {ex.get('scaling_target')}, north rule; "
         "local[k] is the sandbox proxy for k executors).",
         "",
         "Protocol notes:",
@@ -393,7 +512,18 @@ def _write_baseline_md(result: dict) -> None:
     ]
     lines += [f"| {k} | {v} |" for k, v in result["queries"].items()]
     co = result.get("corpus")
-    if co:
+    if co and "error" in co:
+        lines += [
+            "",
+            f"Total: {result['value']} s.",
+            "",
+            "## Corpus pipeline",
+            "",
+            f"PHASE FAILED (isolated; earlier phases unaffected): "
+            f"`{co['error']}` — JVM stderr at `{co.get('log')}`.",
+            "",
+        ]
+    elif co:
         lines += [
             "",
             f"Total: {result['value']} s.",
@@ -401,22 +531,35 @@ def _write_baseline_md(result: dict) -> None:
             "## Corpus pipeline (crawl pages → training corpus, end-to-end)",
             "",
             f"{co['docs']} generated pages at {co['cores']} cores (the high "
-            "extraction level, fresh JVM): extraction → quality purge → "
-            "exact dedup → near-dup purge, both near-dup modes, best-of-"
-            f"{CORPUS_REPS} per mode (same-code walls swing 1.5-3× between "
-            "windows here — the verify join is long-tailed under host "
-            "noise). Stage boundaries spill to parquet (r4), so these "
-            "walls include that I/O — the production memory/robustness "
-            "trade.",
+            "extraction level, fresh JVM per rep, de-risked corpus session "
+            "profile: default broadcast threshold + disk shuffle — r4 "
+            "finding #2): extraction → quality purge → exact dedup → "
+            f"near-dup purge, both near-dup modes, MEDIAN-of-{CORPUS_REPS} "
+            "per mode with the spread recorded (r4 finding #3). Stage "
+            "boundaries spill to parquet, so these walls include that I/O "
+            "— the production memory/robustness trade. Per-stage medians "
+            "(wall / rows / output MB) attribute any regression to one "
+            "stage without a re-run.",
             "",
-            "| near-dup mode | wall (s) | all walls | pages/sec | stage counts |",
-            "|---|---|---|---|---|",
+            "| near-dup mode | median wall (s) | all walls | spread % | pages/sec | stage counts |",
+            "|---|---|---|---|---|---|",
         ]
         for mode in ("verified_pair", "bucket_min"):
             c = co[mode]
             lines.append(
                 f"| {mode} | {c['wall_sec']} | {c.get('all_walls')} | "
-                f"{c['pages_per_sec']} | {c['stage_counts']} |"
+                f"{c.get('spread_pct')} | {c['pages_per_sec']} | "
+                f"{c['stage_counts']} |"
+            )
+        lines += ["", "Per-stage medians:", ""]
+        for mode in ("verified_pair", "bucket_min"):
+            st = co[mode].get("stages") or {}
+            lines.append(
+                f"- **{mode}**: "
+                + "; ".join(
+                    f"{k} {v['wall_sec']}s/{v['rows']}r/{v['mb']}MB"
+                    for k, v in st.items()
+                )
             )
         lines.append("")
     else:
