@@ -323,24 +323,42 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     return minhash_lsh_pairs_from_flat(_shingles_flat(documents), threshold)
 
 
+def _simhash_bit_value(bb: int) -> int:
+    """Two's-complement weight of fingerprint bit ``bb`` in a BIGINT:
+    2^bb for bits 0-62; bit 63 is the SIGN bit, whose long value is
+    −2^63 (a +2^63 literal overflows — r4 verdict item #6: the claimed
+    production width of 64 bits was untested and in fact unconstructible
+    before this)."""
+    return -(1 << 63) if bb == 63 else (1 << bb)
+
+
 def simhash_col(text: Column, bits: int = 16) -> Column:
     """SimHash over whitespace tokens: bit b of the fingerprint is the sign
     of Σ_tokens (±1 by bit b of md5_long(token)). ``bits`` kept small so
     the oracle SQL (which expands per bit) stays tractable; the Spark shape
-    is identical at 64 bits."""
+    is identical at 64 bits (fingerprint bits ≥ 60 draw from a SECOND
+    prefixed md5 — md5_long yields only 60 bits, so bits 60-63 of one
+    hash are constant zero; see :func:`simhash_fingerprints`)."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     hashes = F.transform(toks, lambda t: md5_long(t))
+    hashes_hi = (
+        F.transform(toks, lambda t: md5_long(t, prefix="hi:"))
+        if bits > 60
+        else None
+    )
 
-    def _bit_merge(bb: int):  # factory — see _seeded note in minhash_signatures
+    def _bit_merge(sh: int):  # factory — see _seeded note in minhash_signatures
         return lambda acc, h: acc + (
-            F.shiftright(h, bb).bitwiseAND(F.lit(1)) * 2 - 1
+            F.shiftright(h, sh).bitwiseAND(F.lit(1)) * 2 - 1
         )
 
     bit_cols = []
     for bb in range(bits):
-        contrib = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(bb))
+        src, sh = (hashes, bb) if bb < 60 else (hashes_hi, bb - 60)
+        contrib = F.aggregate(src, F.lit(0).cast("long"), _bit_merge(sh))
         bit_cols.append(
-            F.when(contrib > 0, F.lit(2 ** bb).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(contrib > 0, F.lit(_simhash_bit_value(bb)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
     out = bit_cols[0]
     for c in bit_cols[1:]:
@@ -358,20 +376,26 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
     )
-    h = toks.select("doc_id", md5_long(F.col("t")).alias("h"))
+    # md5_long carries 60 bits (15 hex chars, DuckDB-BIGINT-safe);
+    # fingerprint bits ≥ 60 draw from a second, prefix-seeded md5 so the
+    # full 64-bit production width has live bits end to end
+    hi_cols = (
+        [md5_long(F.col("t"), prefix="hi:").alias("h2")] if bits > 60 else []
+    )
+    h = toks.select("doc_id", md5_long(F.col("t")).alias("h"), *hi_cols)
+
+    def _bit(bb: int):
+        src, sh = ("h", bb) if bb < 60 else ("h2", bb - 60)
+        return F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1)) * 2 - 1
+
     sums = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("h"), bb).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"b{bb}")
-            for bb in range(bits)
-        ]
+        *[F.sum(_bit(bb)).alias(f"b{bb}") for bb in range(bits)]
     )
     fp_expr = None
     for bb in range(bits):
-        c = F.when(F.col(f"b{bb}") > 0, F.lit(2 ** bb).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        c = F.when(
+            F.col(f"b{bb}") > 0, F.lit(_simhash_bit_value(bb)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         fp_expr = c if fp_expr is None else fp_expr + c
     return sums.select("doc_id", fp_expr.alias("simhash"))
 
