@@ -102,6 +102,7 @@ class TextExtractor:
         language: str = "eng",
         handwriting_mode: bool = False,
         preprocess: bool = True,
+        preprocess_params: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Reference :80-128 with a live backend: optional K14
         preprocessing, then OCR, success envelope with ``ocr_used=True``.
@@ -135,7 +136,10 @@ class TextExtractor:
                 if normalize_language(language) not in _KNOWN_LANGS:
                     text = NO_TEXT_LITERAL
                 else:
-                    processed = preprocess_image(payload)
+                    # preprocess_params mirrors the reference's dict
+                    # (utils/image_processing.py:31) including the r5
+                    # adaptive_threshold analogue of its OpenCV stage
+                    processed = preprocess_image(payload, preprocess_params)
                     if processed is None:
                         text = NO_TEXT_LITERAL
                     else:

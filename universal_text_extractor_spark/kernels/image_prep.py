@@ -383,6 +383,36 @@ def binarize(gray: np.ndarray, threshold: int) -> np.ndarray:
     return np.where(gray > threshold, 255, 0).astype(np.uint8)
 
 
+def adaptive_threshold(
+    gray: np.ndarray, block_size: int = 11, c: int = 2
+) -> np.ndarray:
+    """Locally-adaptive binarization (r4 verdict item #5): the analogue of
+    the reference's optional OpenCV step ``cv2.adaptiveThreshold(gray,
+    255, ..., cv2.THRESH_BINARY, 11, 2)`` behind
+    ``preprocess_params['use_opencv']`` (reference
+    utils/image_processing.py:111-124). Deterministic INTEGER spec (no
+    cv2 in this stack, and the reference's Gaussian weighting is a cv2
+    implementation detail): out = 255 where pixel > floor(local mean) − c
+    else 0, local mean over an edge-replicated block_size × block_size
+    window (same border convention as :func:`median3`). One integral
+    image, O(n) regardless of block size."""
+    if block_size < 3 or block_size % 2 == 0:
+        raise ValueError("block_size must be odd and >= 3")
+    r = block_size // 2
+    p = np.pad(gray, r, mode="edge").astype(np.int64)
+    ii = np.zeros((p.shape[0] + 1, p.shape[1] + 1), dtype=np.int64)
+    ii[1:, 1:] = p.cumsum(axis=0).cumsum(axis=1)
+    bs = block_size
+    s = (
+        ii[bs:, bs:]
+        - ii[:-bs, bs:]
+        - ii[bs:, :-bs]
+        + ii[:-bs, :-bs]
+    )
+    mean = s // (bs * bs)
+    return np.where(gray.astype(np.int64) > mean - c, 255, 0).astype(np.uint8)
+
+
 def median3(gray: np.ndarray) -> np.ndarray:
     """3×3 median filter, edge-replicated (noise reduction step)."""
     p = np.pad(gray, 1, mode="edge")
@@ -399,6 +429,12 @@ _DEFAULT_PARAMS = {
     "contrast": 1.5,
     "threshold": 130,
     "noise_reduction": True,
+    # the reference's optional OpenCV stage (utils/image_processing.py:
+    # 111-124, gated on params['use_opencv'] defaulting False) — default
+    # OFF keeps every golden and the m3 oracle byte-identical
+    "adaptive_threshold": False,
+    "adaptive_block_size": 11,
+    "adaptive_c": 2,
 }
 
 
@@ -420,6 +456,12 @@ def preprocess_gray(gray: np.ndarray, params: dict | None = None) -> np.ndarray:
             img = binarize(img, p["threshold"])
         if p.get("noise_reduction", True):
             img = median3(img)
+    # mirrors the reference's ordering: the OpenCV adaptive step runs
+    # AFTER the PIL chain, outside the `enhance` gate
+    if p.get("adaptive_threshold", False):
+        img = adaptive_threshold(
+            img, p.get("adaptive_block_size", 11), p.get("adaptive_c", 2)
+        )
     return img
 
 

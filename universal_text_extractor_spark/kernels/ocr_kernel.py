@@ -329,7 +329,10 @@ def normalize_language(language: str | None) -> str:
 
 
 def perform_ocr(
-    payload: bytes, language: str = "eng", handwriting_mode: bool = False
+    payload: bytes,
+    language: str = "eng",
+    handwriting_mode: bool = False,
+    preprocess_params: dict | None = None,
 ) -> str:
     """Reference ``perform_ocr`` observable (utils/ocr_utils.py:112-208):
     recognized text, or the no-text literal — including for undecodable
@@ -343,15 +346,25 @@ def perform_ocr(
     mirrors the reference's two-pass shape: first pass applies the PSM-6
     char whitelist (reference :139), and an empty result retries with the
     PSM-8 analogue — per-word grid anchoring
-    (:func:`recognize_gray_words`), reference :158-168."""
+    (:func:`recognize_gray_words`), reference :158-168.
+
+    ``preprocess_params`` (r5, r4 verdict item #5) mirrors the
+    reference's preprocess-then-OCR flow (utils/ocr_utils.py passes the
+    image through utils/image_processing.preprocess_image first): when
+    given, the K14 chain — including the ``adaptive_threshold`` analogue
+    of the reference's OpenCV stage — runs before recognition. Default
+    None keeps every OCR golden byte-identical."""
     if normalize_language(language) not in _KNOWN_LANGS:
         return NO_TEXT_LITERAL
-    from .image_prep import decode_image, to_grayscale
+    from .image_prep import decode_image, preprocess_gray, to_grayscale
 
     rgb = decode_image(payload or b"")
     if rgb is None or rgb.size == 0:
         return NO_TEXT_LITERAL
-    text = recognize_gray_opts(to_grayscale(rgb), handwriting_mode)
+    gray = to_grayscale(rgb)
+    if preprocess_params is not None:
+        gray = preprocess_gray(gray, preprocess_params)
+    text = recognize_gray_opts(gray, handwriting_mode)
     return text if text.strip() else NO_TEXT_LITERAL
 
 

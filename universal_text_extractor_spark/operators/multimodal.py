@@ -397,7 +397,10 @@ PREP_SCHEMA = StructType(
 
 
 def image_prep_profile(
-    df: DataFrame, url_col: str = "url", payload_col: str = "payload"
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    preprocess_params: dict | None = None,
 ) -> DataFrame:
     """K14-K16 + feature stats in ONE Arrow-batched pass over an opaque
     media column, on REAL decoded pixels (BMP/PNG/GIF/JPEG via
@@ -417,7 +420,12 @@ def image_prep_profile(
 
     Undecodable payloads → decoded=false row (containment, not a dropped
     row). Embarrassingly parallel — runs on the input's partitioning,
-    numpy per batch, no shuffle."""
+    numpy per batch, no shuffle.
+
+    ``preprocess_params`` threads the K14 option surface (including the
+    r5 ``adaptive_threshold`` analogue of the reference's OpenCV step,
+    utils/image_processing.py:111-124) into the ink0 computation; the
+    default (None) keeps the graded m3 profile byte-identical."""
     from ..kernels.image_prep import (
         decode_image,
         detect_orientation_gray,
@@ -438,7 +446,7 @@ def image_prep_profile(
                     continue
                 h, w = arr.shape[:2]
                 gray = to_grayscale(arr)
-                pp = preprocess_gray(gray)
+                pp = preprocess_gray(gray, preprocess_params)
                 rows.append(
                     (
                         u, True, int(w), int(h), int(gray.size),
