@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Iceberg end-to-end smoke for the resumable-extraction storage seam
+(r4 verdict item #4: IcebergStorage had zero runtime evidence — this
+script turns "first user with a jar" into a five-minute verification).
+
+It runs the SAME scenario as
+``tests/test_resume.py::test_storage_smoke_scenario`` (one body, two
+runners — plans/storage_smoke.py): stage the pages table, commit two
+buckets, crash, resume the remaining buckets from the catalog manifest,
+re-invoke idempotently, verify byte-equivalence against the default
+parquet backend, and run a snapshot-atomic retention DELETE on the
+metrics table.
+
+Launch (pick the iceberg-spark-runtime matching your Spark minor
+version; a local hadoop catalog needs no external services):
+
+    python scripts/make_pyfiles.py
+    spark-submit \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \
+      --py-files dist/utes.zip \
+      --conf spark.sql.catalog.iceberg=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.iceberg.type=hadoop \
+      --conf spark.sql.catalog.iceberg.warehouse=/tmp/utes-iceberg-warehouse \
+      scripts/iceberg_smoke.py
+
+Against a real catalog (REST/Hive/Glue), point the catalog confs there
+instead; the scenario is catalog-agnostic — it only uses standard
+CTAS/append/overwritePartitions/DROP through IcebergStorage.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("utes-iceberg-smoke").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from universal_text_extractor_spark.plans.storage import (
+        IcebergStorage,
+        iceberg_available,
+    )
+    from universal_text_extractor_spark.plans.storage_smoke import (
+        run_storage_smoke,
+    )
+
+    if not iceberg_available(spark):
+        print(
+            "FAIL: no iceberg-spark-runtime on the classpath — launch with\n"
+            "  --packages org.apache.iceberg:iceberg-spark-runtime-"
+            "<spark-minor>_<scala>:<version>",
+            file=sys.stderr,
+        )
+        return 2
+    catalog = spark.conf.get("spark.sql.catalog.iceberg", None)
+    if catalog is None:
+        print(
+            "FAIL: configure an Iceberg catalog named 'iceberg' (see the "
+            "module docstring for a local hadoop-catalog launch line)",
+            file=sys.stderr,
+        )
+        return 2
+
+    with tempfile.TemporaryDirectory(prefix="utes-iceberg-smoke-") as tmp:
+        checks = run_storage_smoke(
+            spark,
+            IcebergStorage(catalog="iceberg", namespace="utes_smoke"),
+            f"{tmp}/run",
+            f"{tmp}/ref",
+        )
+    for k, v in checks.items():
+        print(f"  {k}: {v}")
+    print("ICEBERG SMOKE PASSED — every IcebergStorage operation "
+          "(CTAS stage, overwritePartitions bucket commits, snapshot "
+          "appends, manifest reads, DROP, retention DELETE) executed.")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
