@@ -216,6 +216,16 @@ def _words(texpr: str = "text") -> str:
     )
 
 
+def _words_norm(texpr: str = "text") -> str:
+    """Words of the NORMALIZED text (whitespace collapsed before trim) —
+    the shingle basis (mirrors functions.normalized_text_col). ``_words``
+    trims only spaces, so leading/trailing newlines gave it an empty
+    first/last token; shingles must not carry that junk (rule-identical
+    to operators.dedup._shingles_flat)."""
+    n = f"trim(regexp_replace(lower({texpr}), '\\s+', ' ', 'g'))"
+    return f"CASE WHEN {n} = '' THEN []::VARCHAR[] ELSE string_split({n}, ' ') END"
+
+
 _SHINGLES = (
     "CASE WHEN len(ws) < 3 THEN []::VARCHAR[] ELSE list_distinct("
     "list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))"
@@ -237,7 +247,7 @@ def _minhash_sig_sql() -> str:
         for seed in D.XOR_SEEDS
     )
     return (
-        f"WITH w AS (SELECT doc_id, {_words()} AS ws FROM documents), "
+        f"WITH w AS (SELECT doc_id, {_words_norm()} AS ws FROM documents), "
         f"sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w), "
         "hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> "
         + _H.format(x="s")
@@ -929,7 +939,7 @@ def oracle_sql() -> dict[str, str]:
             # mirrors dedup.ngram_jaccard_pairs incl. the SHINGLE_DF_CAP
             # posting-list cap (shingles in > cap docs dropped; per-doc
             # counts recomputed over the capped universe)
-            f"WITH w AS (SELECT doc_id, {_words()} AS ws FROM documents), "
+            f"WITH w AS (SELECT doc_id, {_words_norm()} AS ws FROM documents), "
             f"sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w), "
             "ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "
             "capped AS (SELECT doc_id, shingle FROM (SELECT doc_id, shingle, "

@@ -354,7 +354,7 @@ def test_minhash_pairs_from_staged_flat_equals_pure_operator(spark, tmp_path):
     from pyspark.sql import Row
 
     from universal_text_extractor_spark.operators.dedup import (
-        _shingles_flat,
+        _shingle_hashes_flat,
         minhash_lsh_pairs,
         minhash_lsh_pairs_from_flat,
     )
@@ -372,7 +372,7 @@ def test_minhash_pairs_from_staged_flat_equals_pure_operator(spark, tmp_path):
     assert want, "fixture must produce at least one verified pair"
 
     staged = str(tmp_path / "flat")
-    _shingles_flat(docs).write.parquet(staged)
+    _shingle_hashes_flat(docs).write.parquet(staged)
     got = sorted(
         map(
             tuple,

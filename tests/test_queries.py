@@ -110,13 +110,38 @@ def test_entry_runs(spark):
 
 
 def test_dedup_flat_equals_array(spark):
-    """_shingles_flat (codegen'd window formulation) must produce the same
-    shingle set per doc as the array expression shingles_col."""
+    """_shingles_flat (narrow regex-lookahead formulation) must produce the
+    same shingle set per doc as the array expression shingles_col — both
+    over the NORMALIZED word basis, including text that leads/trails with
+    non-space whitespace (trim removes only spaces; the r5 audit caught
+    the pre-normalization basis emitting junk shingles like ' b c' for
+    3,266 leading-newline docs in the 20k bench corpus)."""
     from pyspark.sql import functions as F
 
     from universal_text_extractor_spark.operators import dedup as D
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(500)
+    edge = spark.createDataFrame(
+        [
+            (90_000_001, "\nalpha beta gamma delta"),
+            (90_000_002, "alpha beta gamma\t\n"),
+            (90_000_003, "\t one\ttwo three four \n"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(500)
+        .select("doc_id", "text")
+        .unionByName(edge)
+    )
+    # the edge docs must shingle cleanly: no empty-token artifacts
+    got = {
+        r["shingle"]
+        for r in D._shingles_flat(edge).collect()
+        if r["shingle"].startswith(" ") or r["shingle"].endswith(" ")
+        or "  " in r["shingle"]
+    }
+    assert got == set(), got
     flat = {
         (r["doc_id"], r["shingle"])
         for r in D._shingles_flat(docs).collect()

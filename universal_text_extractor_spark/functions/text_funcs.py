@@ -66,8 +66,19 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
 
 def shingles_col(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles (space-joined); empty array when fewer than
-    k tokens. Basis for MinHash / Jaccard dedup."""
-    w = words_col(text)
+    k tokens. Basis for MinHash / Jaccard dedup.
+
+    Words come from the NORMALIZED text (whitespace collapsed, then
+    trimmed), not ``words_col``: ``trim`` removes only ASCII spaces, so
+    text leading/trailing with a newline or tab gave ``words_col`` an
+    empty first/last token and this column a junk shingle like ``" b c"``
+    (r5 finding — 3,266 such docs in the 20k bench corpus). The dedup
+    operators' flat formulation and the DuckDB oracle share this
+    normalized basis."""
+    norm = normalized_text_col(text)
+    w = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
     n = F.size(w)
     idx = F.sequence(F.lit(1), n - F.lit(k - 1))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text_funcs import normalized_text_col, shingles_col, words_col
+from ..functions.text_funcs import normalized_text_col, shingles_col
 
 NUM_MINHASHES = 16
 LSH_BANDS = 4  # 4 bands × 4 rows
@@ -104,31 +104,54 @@ def _shingled(documents: DataFrame) -> DataFrame:
     ).withColumn("n_shingles", F.size("shingles"))
 
 
+# Overlapping word-SHINGLE_K-grams in ONE regex pass over the normalized
+# text: anchor at each word start (consume the preceding space / start),
+# capture the next SHINGLE_K space-separated tokens with a lookahead so
+# consecutive shingles overlap. Over normalized text (whitespace collapsed
+# to single spaces) this is exactly concat_ws(' ', w[i..i+k-1]) per i.
+_SHINGLE_RE = "(?:^| )(?=(" + " ".join(["\\S+"] * SHINGLE_K) + "))"
+
+
 def _shingles_flat(documents: DataFrame) -> DataFrame:
     """(doc_id, shingle) — distinct word-SHINGLE_K-shingles, one row each.
 
-    Flat formulation of ``shingles_col``: posexplode the token array once,
-    form each shingle with window ``lead``s, dedupe. Same shingle *set* per
-    doc as the array version (locked by test_dedup_flat_equals_array), but
-    every operator here is whole-stage-codegen'd — the higher-order
-    ``transform``+``slice`` array expression evaluates interpreted per
-    shingle and measured ~10× slower on the sf0.1 corpus. At 100 TB the
-    flat shape is also the right one: shingle rows feed straight into the
-    inverted-index join / min-aggregation without materializing per-doc
-    arrays."""
-    from pyspark.sql.window import Window
-
-    ex = documents.select(
-        "doc_id", F.posexplode(words_col(F.col("text"))).alias("pos", "w")
+    Narrow, zero-shuffle formulation: one ``regexp_extract_all`` lookahead
+    pass forms every overlapping shingle JVM-side, ``array_distinct``
+    dedupes per doc BEFORE the explode (a doc's rows never leave its input
+    partition, so per-doc distinct needs no exchange), then a plain
+    explode. Same shingle *set* per doc as the array expression
+    ``shingles_col`` (locked by test_dedup_flat_equals_array). Two earlier
+    formulations measured worse: ``transform``+``slice`` evaluates
+    interpreted per element (~10× slower on the sf0.1 corpus), and the
+    posexplode→window-``lead`` pipeline paid an exchange+sort over every
+    token row plus a distinct over 25M shingle STRINGS (the r5 profile
+    measured it 35-96 s vs 7-15 s for this form at 20k docs). At 100 TB
+    the flat shape feeds the inverted-index join / min-aggregation without
+    materializing per-doc arrays — and without this stage shuffling at
+    all."""
+    norm = normalized_text_col(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(norm, F.lit(_SHINGLE_RE), 1))
+        ).alias("shingle"),
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    lead_cols = [F.lead("w", j).over(win).alias(f"w{j}") for j in range(1, SHINGLE_K)]
-    tri = ex.select("doc_id", F.col("w").alias("w0"), *lead_cols)
-    shingle = F.concat_ws(" ", *[F.col(f"w{j}") for j in range(SHINGLE_K)])
-    return (
-        tri.filter(F.col(f"w{SHINGLE_K - 1}").isNotNull())
-        .select("doc_id", shingle.alias("shingle"))
-        .distinct()
+
+
+def _shingle_hashes_flat(documents: DataFrame) -> DataFrame:
+    """(doc_id, h) — ``md5_long`` of each distinct shingle: the staged /
+    join-ready shape. Hashing at formation time means every downstream
+    consumer (signature min-aggregate, both sides of the candidate
+    intersection, per-doc counts) carries 8-byte keys instead of ~25-byte
+    strings through its shuffles, and the 25M-row md5 runs ONCE instead of
+    once per consumer (r5 profile: signatures from staged hashes 0.7 s vs
+    1.2-7.3 s from staged strings at 20k docs). Jaccard over hash sets
+    equals Jaccard over shingle sets absent md5 collisions (~n²/2⁶¹ —
+    negligible at any real corpus size, and the DuckDB oracle computes the
+    same md5 bridge so a collision would affect both engines
+    identically)."""
+    return _shingles_flat(documents).select(
+        "doc_id", md5_long(F.col("shingle")).alias("h")
     )
 
 
@@ -202,14 +225,15 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures_from_flat(flat: DataFrame) -> DataFrame:
     """(doc_id, sig array<long>[NUM_MINHASHES]) from a precomputed flat
-    (doc_id, shingle) relation — the shape :func:`minhash_signatures`
-    wraps, exposed so pipelines that MATERIALIZE the flat shingles once
-    (plans/corpus.py stages them to parquet, r4 verdict item #2) can
-    derive signatures, bands, and the Jaccard verify from the same staged
-    rows instead of re-deriving the explode/window/distinct subtree per
-    consumer."""
-    h = flat.select("doc_id", md5_long(F.col("shingle")).alias("h"))
-    mins = h.groupBy("doc_id").agg(
+    (doc_id, h) HASHED-shingle relation (:func:`_shingle_hashes_flat`) —
+    the shape :func:`minhash_signatures` wraps, exposed so pipelines that
+    MATERIALIZE the flat shingles once (plans/corpus.py stages them to
+    parquet, r4 verdict item #2) can derive signatures, bands, and the
+    Jaccard verify from the same staged rows instead of re-deriving the
+    shingle subtree per consumer. The min-aggregate combines map-side, and
+    a doc's shingle rows never span partitions (narrow formation), so the
+    exchange carries one partial row per doc."""
+    mins = flat.groupBy("doc_id").agg(
         *[
             F.min(F.col("h").bitwiseXOR(F.lit(seed))).alias(f"m{j}")
             for j, seed in enumerate(XOR_SEEDS)
@@ -230,7 +254,7 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     on 5k docs; the exploded flat pipeline stays inside whole-stage
     codegen end-to-end (measured ~4× faster) and, at 100 TB, lets the
     min-aggregation combine map-side before any shuffle."""
-    return minhash_signatures_from_flat(_shingles_flat(documents))
+    return minhash_signatures_from_flat(_shingle_hashes_flat(documents))
 
 
 def lsh_bands_from_sigs(sigs: DataFrame) -> DataFrame:
@@ -270,14 +294,16 @@ def lsh_bands(documents: DataFrame) -> DataFrame:
 def minhash_lsh_pairs_from_flat(
     flat: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
-    """:func:`minhash_lsh_pairs` over a precomputed flat (doc_id, shingle)
-    relation. When ``flat`` is a STAGED parquet read (plans/corpus.py),
-    every consumer of the shingle rows — signature aggregate, both sides
-    of the candidate-intersection join, the per-doc counts — becomes a
-    columnar re-scan of the same files instead of an independent
-    re-derivation of the explode→window→distinct subtree (the r4 verdict
-    measured the re-derivation as the verified-pair path's 3×-over-
-    bucket-min cost)."""
+    """:func:`minhash_lsh_pairs` over a precomputed flat (doc_id, h)
+    HASHED-shingle relation (:func:`_shingle_hashes_flat`). When ``flat``
+    is a STAGED parquet read (plans/corpus.py), every consumer of the
+    shingle rows — signature aggregate, both sides of the candidate-
+    intersection join, the per-doc counts — becomes a columnar re-scan of
+    the same files instead of an independent re-derivation of the shingle
+    subtree (the r4 verdict measured the re-derivation as the
+    verified-pair path's 3×-over-bucket-min cost). The intersection join
+    carries (doc_id, h) long pairs — never shingle strings — so the
+    verify shuffle is fixed-width 16-byte rows at any corpus size."""
     bands = lsh_bands_from_sigs(minhash_signatures_from_flat(flat))
     a = bands.alias("a")
     b = bands.alias("b")
@@ -292,14 +318,14 @@ def minhash_lsh_pairs_from_flat(
         .distinct()
     )
     # verify with true Jaccard, flat-shingle formulation: |∩| via a join on
-    # the shingle rows of only the candidate docs (semi-joined), then
-    # |A∪B| = na + nb − |∩|. No per-doc arrays are materialized.
+    # the hashed shingle rows of only the candidate docs (semi-joined),
+    # then |A∪B| = na + nb − |∩|. No per-doc arrays are materialized.
     counts = _shingle_counts(flat)
-    fa = flat.select(F.col("doc_id").alias("doc_a"), "shingle")
-    fb = flat.select(F.col("doc_id").alias("doc_b"), "shingle")
+    fa = flat.select(F.col("doc_id").alias("doc_a"), "h")
+    fb = flat.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
         cand.join(fa, "doc_a")
-        .join(fb, ["doc_b", "shingle"])
+        .join(fb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -320,7 +346,7 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     """MinHash+LSH near-dup candidates: band the signature (LSH_BANDS bands
     × NUM_MINHASHES/LSH_BANDS rows), bucket-join per band, dedupe candidate
     pairs, verify with true Jaccard. Returns (doc_a, doc_b, jaccard)."""
-    return minhash_lsh_pairs_from_flat(_shingles_flat(documents), threshold)
+    return minhash_lsh_pairs_from_flat(_shingle_hashes_flat(documents), threshold)
 
 
 def _simhash_bit_value(bb: int) -> int:

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    _shingles_flat,
+    _shingle_hashes_flat,
     connected_components,
     lsh_bands_from_sigs,
     md5_long,
@@ -104,12 +104,12 @@ def near_dup_purged(
     """Near-dup purge stage plan — the three production variants (see
     build_training_corpus for semantics).
 
-    ``flat``: an optional precomputed (doc_id, shingle) relation for
-    ``exact`` — build_training_corpus passes its STAGED parquet read so
-    the signature/band/verify consumers re-scan one materialization
-    instead of re-deriving the explode→window→distinct subtree per use
-    (r4 verdict item #2: that re-derivation was the verified-pair path's
-    3× cost over bucket-min)."""
+    ``flat``: an optional precomputed (doc_id, h) hashed-shingle relation
+    for ``exact`` (dedup._shingle_hashes_flat) — build_training_corpus
+    passes its STAGED parquet read so the signature/band/verify consumers
+    re-scan one materialization of 8-byte keys instead of re-deriving the
+    shingle subtree per use (r4 verdict item #2: that re-derivation was
+    the verified-pair path's 3× cost over bucket-min)."""
     if closure and not verify_jaccard:
         # ADVICE r4: closure semantics are defined over the VERIFIED pair
         # graph; silently falling back to bucket-min here surprised
@@ -260,14 +260,15 @@ def build_training_corpus(
     # chains, where keep-first keeps both endpoints), or the pair-free
     # bucket-min fast path. The verified-pair variants consume the flat
     # shingle rows FOUR times (signatures, both sides of the candidate
-    # intersection, per-doc counts) — staging them once to parquet turns
-    # each consumer into a columnar re-scan (r4 verdict item #2: the
-    # re-derivation was the 3× gap over bucket-min). Bucket-min uses the
-    # shingles exactly once, so staging would be pure overhead there.
+    # intersection, per-doc counts) — staging them once to parquet, as
+    # (doc_id, md5-long) 8-byte keys rather than strings, turns each
+    # consumer into a fixed-width columnar re-scan (r4 verdict item #2:
+    # the re-derivation was the 3× gap over bucket-min). Bucket-min uses
+    # the shingles exactly once, so staging would be pure overhead there.
     flat = None
     if verify_jaccard:
         flat = _staged_write(
-            _shingles_flat(exact), f"{stage_dir}/shingles", "shingles"
+            _shingle_hashes_flat(exact), f"{stage_dir}/shingles", "shingles"
         )
     corpus = near_dup_purged(
         exact,
