@@ -938,18 +938,21 @@ def oracle_sql() -> dict[str, str]:
         "dd3_ngram_jaccard_pairs": (
             # mirrors dedup.ngram_jaccard_pairs incl. the SHINGLE_DF_CAP
             # posting-list cap (shingles in > cap docs dropped; per-doc
-            # counts recomputed over the capped universe)
+            # counts recomputed over the capped universe). Rule-identical
+            # to the Spark side's r5 hashed posting lists: the cap and the
+            # self-join key are the same md5-long bridge, so even a hash
+            # collision would move both engines identically.
             f"WITH w AS (SELECT doc_id, {_words_norm()} AS ws FROM documents), "
             f"sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w), "
-            "ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "
-            "capped AS (SELECT doc_id, shingle FROM (SELECT doc_id, shingle, "
-            "COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex0) "
+            f"ex0 AS (SELECT doc_id, {_H.format(x='unnest(shingles)')} AS h FROM sh), "
+            "capped AS (SELECT doc_id, h FROM (SELECT doc_id, h, "
+            "COUNT(*) OVER (PARTITION BY h) AS df FROM ex0) "
             f"WHERE df <= {D.SHINGLE_DF_CAP}), "
             "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM capped GROUP BY doc_id), "
-            "ex AS (SELECT c.doc_id, c.shingle, n.n_sh FROM capped c JOIN cnt n USING (doc_id)), "
+            "ex AS (SELECT c.doc_id, c.h, n.n_sh FROM capped c JOIN cnt n USING (doc_id)), "
             "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, "
             "CAST(COUNT(*) AS BIGINT) AS inter FROM ex a JOIN ex b "
-            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "ON a.h = b.h AND a.doc_id < b.doc_id "
             "GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh) "
             "SELECT doc_a, doc_b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard "
             "FROM i WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.2"

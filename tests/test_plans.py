@@ -211,12 +211,35 @@ def test_dd3_cap_is_broadcast_anti_join_not_window(spark):
     groupBy(shingle) to find the tiny hot set, broadcast anti-join to drop
     it, partial_count proving the map-side combine."""
     plan = _plan(spark, "dd3_ngram_jaccard_pairs")
-    # no Window node partitioned by the shingle key anywhere in the plan
-    for line in plan.splitlines():
-        if "Window" in line and "shingle" in line:
-            raise AssertionError(f"window over shingle key: {line}\n{plan}")
+    # no Window node anywhere: the df-cap must not funnel hot keys through
+    # one task, and the r5 regex shingle formation removed the only other
+    # Window this plan ever had — any Window reappearing is a regression
+    assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_shingle_formation_is_narrow(spark, tmp_path):
+    """The flat shingle stage (string and hashed forms) must stay a
+    ZERO-exchange narrow pipeline over its scan: one regexp_extract_all
+    pass + array_distinct before the explode (r5 — the earlier
+    posexplode→window-lead→distinct form paid an exchange+sort over every
+    token row plus a string distinct, 63 s of the 140 s verified-pair
+    corpus wall at 20k pages)."""
+    from universal_text_extractor_spark.operators.dedup import (
+        _shingle_hashes_flat,
+        _shingles_flat,
+    )
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    for build in (_shingles_flat, _shingle_hashes_flat):
+        plan = build(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (build.__name__, plan)
+        assert "Window" not in plan, (build.__name__, plan)
 
 
 def test_registry_plan_lint_no_scale_killers(spark):

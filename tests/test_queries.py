@@ -154,6 +154,42 @@ def test_dedup_flat_equals_array(spark):
     assert flat == arr
 
 
+def test_shingles_fuzz_vs_python_oracle(spark):
+    """300 random whitespace-laden texts (tabs, newlines, runs, unicode
+    words, leading/trailing junk) → _shingles_flat must equal an
+    INDEPENDENT pure-Python oracle: normalize whitespace, split on single
+    spaces, distinct k-grams. One Spark job for the whole batch."""
+    import random
+
+    from universal_text_extractor_spark.operators import dedup as D
+
+    rng = random.Random(42)
+    seps = [" ", "  ", "\t", "\n", " \n ", "\t\t", "\r\n", "   "]
+    vocab = ["alpha", "B3ta", "Γάμμα", "d-e", "x", "Y.", "zz", "q'w"]
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 12)
+        body = "".join(
+            rng.choice(vocab) + rng.choice(seps) for _ in range(n)
+        )
+        text = rng.choice(["", " ", "\n", "\t "]) + body
+        rows.append((i, text))
+
+    def oracle(text: str) -> set[str]:
+        words = text.lower().split()  # str.split collapses all whitespace
+        k = D.SHINGLE_K
+        return {
+            " ".join(words[j : j + k]) for j in range(len(words) - k + 1)
+        }
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in D._shingles_flat(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for i, text in rows:
+        assert got.get(i, set()) == oracle(text), (i, repr(text))
+
+
 def test_exact_purge_with_real_duplicates(spark, duck):
     """dd7 on data that actually CONTAINS duplicates (the sf corpus has
     none, which would make the oracle check vacuous for the grouping key):

@@ -189,19 +189,26 @@ def ngram_jaccard_pairs(
     filtering — recreating at the cap exactly the skew the cap exists to
     remove (VERDICT r2 finding 2). The per-doc counts are joined onto the
     SMALL (doc_a, doc_b, |∩|) aggregate afterwards, not onto every shingle
-    row beforehand."""
-    flat = _shingles_flat(documents)
+    row beforehand.
+
+    The posting lists carry ``md5_long`` shingle HASHES, not strings
+    (r5): the self-join's exchanges move fixed-width 16-byte rows instead
+    of ~30-byte text and the df-cap groups on an 8-byte key. Jaccard over
+    hash sets equals Jaccard over shingle sets absent md5 collisions —
+    and the DuckDB oracle computes the same md5 bridge, so a collision
+    would move both engines identically."""
+    flat = _shingle_hashes_flat(documents)
     hot = (
-        flat.groupBy("shingle")
+        flat.groupBy("h")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_doc_freq)
-        .select("shingle")
+        .select("h")
     )
-    kept = flat.join(F.broadcast(hot), "shingle", "left_anti")
-    a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    kept = flat.join(F.broadcast(hot), "h", "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
-        a.join(b, (a["shingle"] == b["shingle"]) & (F.col("doc_a") < F.col("doc_b")))
+        a.join(b, (a["h"] == b["h"]) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
