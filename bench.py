@@ -128,34 +128,30 @@ def _session(
     return s
 
 
-def ensure_bench_pages(cores: int = CPUS) -> None:
-    """Generate the deterministic pages parquet once (index-pure → identical
-    at any parallelism)."""
-    marker = pathlib.Path(DATA_DIR) / "_SUCCESS"
+def _ensure_pages(data_dir: str, rows: int, partitions: int, cores: int) -> None:
+    """Generate a deterministic pages parquet once (index-pure generator →
+    identical bytes at any parallelism); no-op if already present."""
+    marker = pathlib.Path(data_dir) / "_SUCCESS"
     if marker.exists():
         return
     from universal_text_extractor_spark.sources.pages_gen import generate_pages_df
 
     spark = _session(cores)
-    generate_pages_df(spark, BENCH_ROWS, partitions=cores * 4).write.mode(
+    generate_pages_df(spark, rows, partitions=partitions).write.mode(
         "overwrite"
-    ).parquet(DATA_DIR)
+    ).parquet(data_dir)
     spark.stop()
+
+
+def ensure_bench_pages(cores: int = CPUS) -> None:
+    """Phase A/B input: the 400k-row headline/extraction pages table."""
+    _ensure_pages(DATA_DIR, BENCH_ROWS, cores * 4, cores)
 
 
 def ensure_corpus_pages(cores: int) -> None:
-    """Pre-generate Phase C's pages parquet once (index-pure generator →
-    identical at any parallelism; same rationale as ensure_bench_pages)."""
-    marker = pathlib.Path(CORPUS_DATA_DIR) / "_SUCCESS"
-    if marker.exists():
-        return
-    from universal_text_extractor_spark.sources.pages_gen import generate_pages_df
-
-    spark = _session(cores)
-    generate_pages_df(spark, CORPUS_ROWS, partitions=cores * 2).write.mode(
-        "overwrite"
-    ).parquet(CORPUS_DATA_DIR)
-    spark.stop()
+    """Phase C input: the 20k-row corpus pages table (same pre-generation
+    rationale — the timed span measures extraction, not fixture writers)."""
+    _ensure_pages(CORPUS_DATA_DIR, CORPUS_ROWS, cores * 2, cores)
 
 
 def extraction_throughput(cores: int, mode: str = "fused") -> dict:
@@ -421,15 +417,24 @@ def main() -> None:
         print(f"[bench] phase done: {phase}", file=sys.stderr, flush=True)
 
     # ---- Phase A: headline queries ------------------------------------
+    spark = None
     try:
         ensure_bench_pages()
         spark = _session(CPUS)
         qtimes = run_headline(spark)
-        spark.stop()
         result["queries"] = qtimes
         result["value"] = round(sum(qtimes.values()), 3)
     except Exception as e:  # noqa: BLE001 — phase isolation by contract
         result["queries"] = {"error": f"headline phase failed: {e}"}
+    finally:
+        # a failed headline phase must not leak its local[CPUS] JVM (16g
+        # heap + /dev/shm shuffle files) into Phases B/C's subprocesses —
+        # that RAM pressure is exactly what phase isolation exists to stop
+        if spark is not None:
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001 — best-effort teardown
+                pass
     _checkpoint("A headline")
 
     # ---- Phase B: extraction scaling (clean JVM per level) ------------

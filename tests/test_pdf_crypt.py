@@ -289,3 +289,27 @@ def test_damaged_trailer_plus_encrypt_decoy_stays_plaintext():
     text = extract_pdf(damaged)[0]
     assert text != CORRUPT_LITERAL
     assert "see /Encrypt 1 0 R marker in prose" in text
+
+
+def test_damaged_trailer_plus_stream_dict_decoy_stays_plaintext():
+    """r5 review finding: virtually every ordinary stream dict carries
+    ``/Filter /FlateDecode``, so a damaged-trailer decoy that resolves to
+    ONE of those must not pass the fallback's structural gate (a bare
+    /Filter is not an encryption-dict marker — only /Filter /Standard,
+    /O+/U, or /V+/R are). Before the gate was tightened this document
+    came back as the corrupt literal despite being plaintext."""
+    import zlib
+
+    pdf = _minimal_pdf_with_string(b"prose mentions /Encrypt 5 0 R here")
+    blob = zlib.compress(b"unrelated flate stream payload")
+    decoy = (
+        b"5 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(blob)).encode()
+        + b" >>\nstream\n"
+        + blob
+        + b"\nendstream\nendobj\n"
+    )
+    tampered = pdf.replace(b"trailer", decoy + b"tr@iler")
+    text = extract_pdf(tampered)[0]
+    assert text != CORRUPT_LITERAL
+    assert "prose mentions /Encrypt 5 0 R here" in text

@@ -232,10 +232,13 @@ def _find_crypt(payload: bytes, objs, gens):
     plaintext and emit success-flagged garbled text. In that one case we
     fall back to the pre-r4 whole-payload scan, but gated twice so the r4
     false-positive class stays closed: the ``/Encrypt N G R`` byte pattern
-    must RESOLVE to an object that structurally looks like an encryption
-    dict (/Filter, /V or /R present) before the document is treated as
-    encrypted — content-stream bytes that merely mention /Encrypt do not
-    resolve to such a dict."""
+    must RESOLVE to an object that structurally looks like an ENCRYPTION
+    dict — ``/Filter /Standard``, or the ``/O``+``/U`` password digests,
+    or the ``/V``+``/R`` algorithm/revision pair — before the document is
+    treated as encrypted. A bare ``/Filter`` is NOT enough: every ordinary
+    stream dict carries ``/Filter /FlateDecode``, so a decoy that resolves
+    to one would flip a plaintext document to the corrupt literal (r5
+    review finding)."""
     enc_ref = None
     file_id = b""
     dicts = _trailer_dicts(payload, objs)
@@ -254,7 +257,9 @@ def _find_crypt(payload: bytes, objs, gens):
         if last is not None:
             cand = _resolve(objs, _Ref(int(last.group(1))))
             if isinstance(cand, dict) and (
-                "/Filter" in cand or "/V" in cand or "/R" in cand
+                cand.get("/Filter") == "/Standard"
+                or ("/O" in cand and "/U" in cand)
+                or ("/V" in cand and "/R" in cand)
             ):
                 idm = None
                 for m in _ID_FALLBACK_RE.finditer(payload):

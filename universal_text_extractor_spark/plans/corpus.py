@@ -131,24 +131,16 @@ def near_dup_purged(
             ).select("doc_id")
         else:
             doomed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    elif flat is not None:
-        bands = lsh_bands_from_sigs(minhash_signatures_from_flat(flat))
-        bucket_min = bands.groupBy("band", "bucket").agg(
-            F.min("doc_id").alias("min_id")
-        )
-        doomed = (
-            bands.join(bucket_min, ["band", "bucket"])
-            .filter(F.col("doc_id") != F.col("min_id"))
-            .select("doc_id")
-            .distinct()
-        )
     else:
         # bucket-min kill: keep a doc iff it IS the min of every bucket
         # it lands in (equivalently: one anti-join against the set of
         # docs that are non-min somewhere). Aggregate is map-combinable.
-        from ..operators.dedup import lsh_bands
+        if flat is not None:
+            bands = lsh_bands_from_sigs(minhash_signatures_from_flat(flat))
+        else:
+            from ..operators.dedup import lsh_bands
 
-        bands = lsh_bands(exact)
+            bands = lsh_bands(exact)
         bucket_min = bands.groupBy("band", "bucket").agg(
             F.min("doc_id").alias("min_id")
         )
