@@ -382,3 +382,42 @@ def test_minhash_pairs_from_staged_flat_equals_pure_operator(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_bucket_min_from_flat_equals_document_fed(spark, tmp_path):
+    """The flat-fed bucket-min arm of near_dup_purged (bands derived from
+    a staged hashed-shingle relation) must keep exactly the same survivor
+    set as the document-fed arm — the two sources feed one shared
+    bucket-min block, and this locks that they stay interchangeable."""
+    import random
+
+    from pyspark.sql import Row
+
+    from universal_text_extractor_spark.operators.dedup import (
+        _shingle_hashes_flat,
+    )
+    from universal_text_extractor_spark.plans.corpus import near_dup_purged
+
+    rng = random.Random(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = [" ".join(rng.choices(words, k=30)) for _ in range(20)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(base)]
+        + [Row(doc_id=100 + i, text=base[i] + " omega") for i in range(5)],
+        schema="doc_id long, text string",
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in near_dup_purged(docs, verify_jaccard=False).collect()
+    )
+    assert len(want) < 25, "fixture must let bucket-min kill a clone"
+
+    staged = str(tmp_path / "flat_bm")
+    _shingle_hashes_flat(docs).write.parquet(staged)
+    got = sorted(
+        r["doc_id"]
+        for r in near_dup_purged(
+            docs, verify_jaccard=False, flat=spark.read.parquet(staged)
+        ).collect()
+    )
+    assert got == want
