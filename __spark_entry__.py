@@ -284,7 +284,9 @@ def _simhash_fp_cte(bits: int = 16) -> str:
         for b in range(bits)
     )
     return (
-        "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents), "
+        "WITH tok AS (SELECT doc_id, t FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t "
+        "FROM documents) WHERE t <> ''), "
         f"h AS (SELECT doc_id, {_H.format(x='t')} AS hv FROM tok), "
         f"fp AS (SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h GROUP BY doc_id)"
     )
@@ -905,7 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "t6_quality_filter": (
             "WITH sc AS (SELECT doc_id, lang, "
             f"len({_words()}) AS n_tokens, "
-            "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE "
+            "round(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE "
             "/ greatest(length(text), 1), 4) AS alpha_ratio FROM documents) "
             "SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, alpha_ratio "
             "FROM sc WHERE alpha_ratio >= 0.81 AND n_tokens >= 15"
@@ -1012,7 +1014,7 @@ def _quality_summary_sql() -> str:
         "WITH s AS (SELECT lang, "
         "length(text) AS n_chars, "
         f"{_words()} AS ws, "
-        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha "
+        "length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS alpha "
         "FROM documents), "
         "sc AS (SELECT lang, n_chars, len(ws) AS n_tokens, "
         "round(alpha::DOUBLE / greatest(n_chars, 1), 4) AS alpha_ratio, "

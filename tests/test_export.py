@@ -26,6 +26,9 @@ def frames(spark):
             (3, "bob", "c.txt", "txt", 10, 0.01, 0, 0, "2026-01-01 08:00:00"),
             # same timestamp as id=1 → id ASC tiebreak
             (4, "alice", "d.xls", "xls", 500, 0.2, 1, 0, "2026-01-02 10:00:00"),
+            # NULL timestamp → sorts LAST on both export paths (desc
+            # nulls-last parity; r5 review finding)
+            (5, "bob", "e.rtf", "rtf", 77, 0.05, 1, 0, None),
         ],
         "id int, user_id string, file_name string, file_type string, "
         "file_size_bytes long, processing_time double, success int, "
@@ -80,6 +83,10 @@ def test_user_envelopes_all_users(frames):
     rows = {r["username"]: r for r in user_envelopes(logs, feedback).collect()}
     assert set(rows) == {"alice", "bob", "carol"}
     assert [s["id"] for s in rows["alice"]["extraction_logs"]] == [2, 1, 4]
+    # null-ts row last, matching the single-user orderBy(desc) path
+    assert [s["id"] for s in rows["bob"]["extraction_logs"]] == [3, 5]
+    bob_doc = json.loads(export_user_data(logs, feedback, "bob"))
+    assert [r["id"] for r in bob_doc["extraction_logs"]] == [3, 5]
     assert rows["bob"]["feedback"] == []  # missing side → empty array
     assert rows["carol"]["extraction_logs"] == []
     assert rows["carol"]["feedback"][0]["rating"] == 5

@@ -328,6 +328,7 @@ def test_operator_surface_sees_real_jpeg_pixels(spark):
     arr = decode_image(payloads["https://m/j444.jpg"])
     gray = to_grayscale(arr)
     th = thumbs["https://m/j444.jpg"]
+    assert th["decoded"] is True
     assert (th["src_width"], th["src_height"]) == (40, 28)
     ys = (np.arange(th["height"]) * gray.shape[0]) // th["height"]
     xs = (np.arange(th["width"]) * gray.shape[1]) // th["width"]

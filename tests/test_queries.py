@@ -263,6 +263,10 @@ def test_simhash_64bit_production_width(spark):
         texts[i] = " ".join(t)
     for i in range(8, 20):  # unrelated docs
         texts[i] = " ".join(rng.choices(vocab, k=120))
+    # whitespace-edge clone (r5 review finding): leading \n / trailing \t
+    # must not inject a phantom empty token — doc 20 is token-identical to
+    # doc 0, so the pair MUST surface at hamming 0
+    texts[20] = "\n\t " + texts[0] + " \n"
 
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in texts.items()],

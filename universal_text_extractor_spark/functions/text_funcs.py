@@ -44,7 +44,11 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword heuristics (quality scoring for a
     training-data pipeline). Deterministic, SQL-expressible."""
     n_chars = F.length(text)
-    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    # \p{L} (any Unicode letter), not [A-Za-z]: the ratio claims to be
+    # language-agnostic, and an ASCII class systematically under-scores
+    # accented/non-Latin documents (r5 review finding). Java and RE2
+    # (DuckDB) agree on the class, so the oracle twin moves in lockstep.
+    alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", ""))
     toks = words_col(text)
     n_tok = F.size(toks)

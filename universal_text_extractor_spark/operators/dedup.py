@@ -53,8 +53,10 @@ def md5_long(col: Column, prefix: str = "") -> Column:
 
 def exact_dedup_groups(documents: DataFrame) -> DataFrame:
     """Exact duplicate groups on normalized text: group key, group size,
-    canonical (min) doc_id. Groups of size 1 included → deterministic full
-    inventory (the dedup *report*; filter size>1 for the purge set)."""
+    canonical (min) doc_id — only groups of size > 1 (the dd1 oracle's
+    ``HAVING COUNT(*) > 1``); singletons are by definition not duplicate
+    groups. (r5 review: the docstring previously claimed size-1 groups
+    were included — the code, the oracle, and this text now agree.)"""
     key = md5_long(normalized_text_col(F.col("text")))
     return (
         documents.select(F.col("doc_id"), key.alias("text_key"))
@@ -371,8 +373,16 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
     the oracle SQL (which expands per bit) stays tractable; the Spark shape
     is identical at 64 bits (fingerprint bits ≥ 60 draw from a SECOND
     prefixed md5 — md5_long yields only 60 bits, so bits 60-63 of one
-    hash are constant zero; see :func:`simhash_fingerprints`)."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    hash are constant zero; see :func:`simhash_fingerprints`).
+
+    Token basis = the NORMALIZED text (same r5 rule as shingles): a
+    space-only ``trim`` over raw text left docs with leading/trailing
+    ``\\n``/``\\t`` a phantom empty token whose md5 contributed ±1 to
+    every bit sum, pushing near-identical docs several hamming bits
+    apart (r5 review finding)."""
+    toks = F.filter(
+        F.split(normalized_text_col(text), " "), lambda t: t != ""
+    )
     hashes = F.transform(toks, lambda t: md5_long(t))
     hashes_hi = (
         F.transform(toks, lambda t: md5_long(t, prefix="hi:"))
@@ -404,11 +414,16 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
     tokens, hash the flat column, take the 16 per-bit sign-sums in ONE hash
     aggregate (map-side combinable; the per-token ``aggregate`` lambda in
     simhash_col evaluates interpreted). Same fingerprints, locked by the
-    dd5 oracle."""
+    dd5 oracle. Tokens derive from the NORMALIZED text with empties
+    dropped (see :func:`simhash_col` — the phantom-empty-token fix);
+    blank documents therefore carry no fingerprint row (they are exact
+    dups of each other and die in exact dedup upstream)."""
     toks = documents.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
-    )
+        F.explode(
+            F.split(normalized_text_col(F.col("text")), " ")
+        ).alias("t"),
+    ).filter(F.col("t") != "")
     # md5_long carries 60 bits (15 hex chars, DuckDB-BIGINT-safe);
     # fingerprint bits ≥ 60 draw from a second, prefix-seeded md5 so the
     # full 64-bit production width has live bits end to end
@@ -539,6 +554,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     label set is ``localCheckpoint``-ed: iterative self-referencing
     lineage otherwise grows the logical plan geometrically (measured: the
     un-truncated plan STRING alone OOM'd the driver at 12 rounds).
+    Superseded snapshots are reclaimed by Spark's ContextCleaner once the
+    rebinding drops the Python reference (there is no public API to free
+    a localCheckpoint eagerly), so live block-store footprint is ~2 label
+    sets plus cleaner lag, not one per round.
 
     Non-convergence (ADVICE r4): a component whose min-label eccentricity
     exceeds ``max_iters`` (a >25-hop chain) would exit the loop still

@@ -57,12 +57,20 @@ def _nested(df: DataFrame, user_col: str, cols: tuple[str, ...], out: str) -> Da
         .agg(F.collect_list(packed).alias("_raw"))
         # sort_array ascending on (_ts, _id) then reverse ≈ (ts DESC, id DESC)
         # — not the contract; instead sort descending and re-sort ties:
-        # array_sort with a comparator lambda gives (ts DESC, id ASC)
+        # array_sort with a comparator lambda gives (ts DESC, id ASC).
+        # NULL timestamps sort LAST, mirroring the single-user path's
+        # orderBy(desc) default (DESC NULLS LAST) — the bare >/< whens
+        # evaluate NULL (= false) against a null _ts and would otherwise
+        # interleave null-ts rows by id (r5 review finding)
         .select(
             "username",
             F.array_sort(
                 "_raw",
-                lambda a, b: F.when(a["_ts"] > b["_ts"], -1)
+                lambda a, b: F.when(
+                    a["_ts"].isNull() & b["_ts"].isNotNull(), F.lit(1)
+                )
+                .when(a["_ts"].isNotNull() & b["_ts"].isNull(), F.lit(-1))
+                .when(a["_ts"] > b["_ts"], -1)
                 .when(a["_ts"] < b["_ts"], 1)
                 .when(a["_id"] < b["_id"], -1)
                 .when(a["_id"] > b["_id"], 1)

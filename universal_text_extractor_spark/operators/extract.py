@@ -68,18 +68,20 @@ EXTRACTED_COLUMNS = (
 
 
 def _branch_udf(
-    family: str,
     use_ocr: bool = False,
     main_content: bool = False,
     ocr_language: str = "eng",
     handwriting_mode: bool = False,
     legacy_office: bool = False,
 ):
-    """Specialized Arrow UDF for one dispatch-branch family (html / pdf /
-    text / office / image). The kernel is invoked per element over an Arrow
-    batch (vectorized transfer; pure-Python kernel work is the unavoidable
-    cost — SURVEY.md §2.3); within a family the content_type column routes
-    to the exact kernel."""
+    """The dispatch Arrow UDF shared by every branch of the filter+union
+    plan: the kernel is invoked per element over an Arrow batch
+    (vectorized transfer; pure-Python kernel work is the unavoidable cost
+    — SURVEY.md §2.3), and the content_type column routes each row to its
+    exact kernel. One UDF serves all families — each branch's FILTER
+    restricts which content types reach it, so no per-family
+    specialization exists at UDF-construction time (r5 review: the old
+    ``family`` parameter was dead and implied otherwise)."""
 
     @F.pandas_udf(RESULT_SCHEMA)
     def branch(url: pd.Series, html: pd.Series, ctype: pd.Series) -> pd.DataFrame:
@@ -113,7 +115,7 @@ def extract_pages(
     pages: DataFrame,
     num_partitions: int | None = None,
     salt: int = DEFAULT_SALT,
-    persist_base: bool = False,
+    persist_base: bool | str = False,
     use_ocr: bool = False,
     main_content: bool = False,
     ocr_language: str = "eng",
@@ -133,8 +135,10 @@ def extract_pages(
     block-store (MEMORY_AND_DISK) before fan-out, so the 8 branch stages
     read node-local cache instead of re-reading the shuffle output 8 times
     (~25% faster here; at 100 TB it turns 8× shuffle-read amplification into
-    1 write + 8 local columnar reads). Caller owns unpersisting (or lets it
-    age out)."""
+    1 write + 8 local columnar reads). The string ``"disk"`` selects
+    DISK_ONLY instead (bench variant for memory-tight hosts — previously
+    an undocumented mode hidden behind a bool annotation, r5 review).
+    Caller owns unpersisting (or lets it age out)."""
     spark = pages.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -158,12 +162,12 @@ def extract_pages(
 
     all_typed = [t for types in BRANCH_FAMILIES.values() for t in types]
     branches = []
+    udf = _branch_udf(
+        use_ocr=use_ocr, main_content=main_content,
+        ocr_language=ocr_language, handwriting_mode=handwriting_mode,
+        legacy_office=legacy_office,
+    )
     for family, types in BRANCH_FAMILIES.items():
-        udf = _branch_udf(
-            family, use_ocr=use_ocr, main_content=main_content,
-            ocr_language=ocr_language, handwriting_mode=handwriting_mode,
-            legacy_office=legacy_office,
-        )
         pred = (
             F.col("content_type") == types[0]
             if len(types) == 1

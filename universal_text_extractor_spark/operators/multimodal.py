@@ -187,6 +187,11 @@ RESIZE_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("thumb", BinaryType()),
+        # false → thumb is the deterministic digest fallback, not pixels
+        # (same contract as FEATURES_SCHEMA/FRAME_SCHEMA; r5 review
+        # finding — without the flag a consumer can't tell noise from
+        # a real thumbnail)
+        StructField("decoded", BooleanType()),
     ]
 )
 
@@ -212,7 +217,7 @@ def image_resize(
     (src_y = y·sh//th — deterministic, no float resampling kernel), one
     luma byte per pixel. Payloads whose header parses but whose pixels
     can't be decoded here (arithmetic-coded JPEG, truncated GIFs) keep the
-    clearly-marked digest stream at the same schema.
+    digest stream at the same schema, marked ``decoded=false``.
     Non-image payloads are dropped (filter happens inside the same pass —
     no extra scan)."""
 
@@ -233,7 +238,8 @@ def image_resize(
                     continue
                 w, h = _thumb_dims(int(sw), int(sh), max_side)
                 arr = decode_image(b)
-                if arr is not None and arr.size:
+                decoded = arr is not None and bool(arr.size)
+                if decoded:
                     gray = to_grayscale(arr)
                     ys = (np.arange(h) * gray.shape[0]) // h
                     xs = (np.arange(w) * gray.shape[1]) // w
@@ -248,7 +254,7 @@ def image_resize(
                         ).digest()
                         counter += 1
                     thumb = bytes(stream[:npix])
-                rows.append((u, int(sw), int(sh), w, h, thumb))
+                rows.append((u, int(sw), int(sh), w, h, thumb, decoded))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
             )
@@ -316,7 +322,7 @@ def frame_sample(
                     ok = True
                     try:
                         for delay, canvas in frames_it:
-                            start, t = t, t + max(delay, 10)
+                            t += max(delay, 10)
                             gray = None
                             while i < max_frames and i * every_ms < t:
                                 if gray is None:

@@ -110,9 +110,7 @@ def quality_filter(
     stopword ratio stays a report metric because its list is
     English-biased. Pure scan+filter — pushes to the source, no shuffle.
     Returns (doc_id, lang, n_tokens, alpha_ratio)."""
-    from ..functions.text_funcs import token_count_col
-
-    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
     ratio = F.round(
         alpha / F.greatest(F.length("text"), F.lit(1)), 4
     )
@@ -144,7 +142,7 @@ def quality_summary(documents: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_stop"))
     )
     n_chars = F.length("text")
-    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
     n_tok = token_count_col(F.col("text"))
     base = documents.select(
         "doc_id", "lang",
