@@ -210,10 +210,10 @@ _H = "('0x'||substr(md5({x}),1,15))::BIGINT"
 
 
 def _words(texpr: str = "text") -> str:
-    return (
-        f"CASE WHEN trim(lower({texpr})) = '' THEN []::VARCHAR[] "
-        f"ELSE regexp_split_to_array(trim(lower({texpr})), '\\s+') END"
-    )
+    """Same normalized basis as ``_words_norm`` (r5 review batch 3: the
+    space-only-trim form gave leading-``\\n`` docs a phantom empty token;
+    Spark's ``words_col``/``token_count_col`` moved in lockstep)."""
+    return _words_norm(texpr)
 
 
 def _words_norm(texpr: str = "text") -> str:
@@ -890,15 +890,15 @@ def oracle_sql() -> dict[str, str]:
         "t1_doc_profile": (
             "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "round(avg(n_chars), 2) AS avg_chars, "
-            "round(avg(CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 2) AS avg_tokens, "
+            "round(avg(CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0 "
+            "ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END), 2) AS avg_tokens, "
             "MAX(n_chars) AS max_chars "
             "FROM documents GROUP BY lang, source ORDER BY lang, source"
         ),
         "t2_token_counts": (
             "SELECT doc_id, "
-            "CAST(CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS ws_tokens, "
+            "CAST(CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0 "
+            "ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS INT) AS ws_tokens, "
             "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_ish_tokens, "
             "CAST(length(text) AS INT) AS n_chars "
             "FROM documents"

@@ -421,3 +421,33 @@ def test_bucket_min_from_flat_equals_document_fed(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_crawl_revisits_are_deduped(spark, tmp_path):
+    """r5 review batch 3: every purge stage keys on doc_id, so doc_id must
+    be row-unique. A url-only hash gave crawl REVISITS (same url captured
+    twice) one shared id, and every copy sailed through exact and near-dup
+    dedup untouched. Now: byte-identical recaptures collapse at framing
+    (content-qualified id + dropDuplicates), changed revisits get distinct
+    ids and the near-dup purge judges them on their text."""
+    fwd = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rev = "kappa iota theta eta zeta epsilon delta gamma beta alpha " * 3
+    ext = spark.createDataFrame(
+        [
+            ("https://a.ex/page", fwd, True),
+            ("https://a.ex/page", fwd, True),  # byte-identical recapture
+            ("https://b.ex/page", rev + "omega", True),  # revisit, edited
+            ("https://b.ex/page", rev + "omicron", True),
+        ],
+        schema="url string, text string, success boolean",
+    )
+    out = str(tmp_path / "revisit_out")
+    stats = build_training_corpus(spark, None, out, extracted=ext)
+    assert stats["extracted_ok"] == 3  # identical recapture collapsed
+    assert stats["exact_unique"] == 3  # three distinct texts remain
+    assert stats["near_dup_unique"] == 2  # edited revisit pair -> 1 survivor
+    rows = spark.read.parquet(f"{out}/corpus").collect()
+    assert len(rows) == 2
+    assert len({r["doc_id"] for r in rows}) == 2  # ids are row-unique
+    urls = sorted(r["url"] for r in rows)
+    assert urls[0] == "https://a.ex/page" and urls[1] == "https://b.ex/page"

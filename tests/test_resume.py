@@ -342,3 +342,45 @@ def test_storage_smoke_scenario(spark, tmp_path, backend):
     )
     assert checks["rows_equal_reference"] == 120
     assert checks["retention_deleted"] > 0
+
+
+def test_metrics_not_duplicated_across_metrics_manifest_crash(spark, tmp_path):
+    """r5 review batch 3: publish order is data -> metrics -> manifest;
+    a crash between the last two leaves the bucket pending, so it re-runs
+    on resume — its metrics re-publish must REPLACE the orphaned rows
+    (per-bucket dynamic partition overwrite), not append a duplicate set
+    that double-counts the bucket in every consumer forever."""
+    pages = generate_pages_df(spark, 120, partitions=2)
+    out = str(tmp_path / "mmwin")
+    with pytest.raises(RuntimeError, match="between metrics and manifest"):
+        run_extraction(
+            spark, pages, out, n_buckets=3, num_partitions=2,
+            fail_between_metrics_and_manifest=True,
+        )
+    run_extraction(spark, pages, out, n_buckets=3, num_partitions=2)
+    m = spark.read.parquet(f"{out}/metrics")
+    # exactly one lineage row per (bucket, partition): no duplicates
+    dupes = (
+        m.groupBy("bucket", "partition_id").count().filter("count > 1").count()
+    )
+    assert dupes == 0
+    # and doc_count totals reconcile with the actual extracted table
+    total = sum(r["doc_count"] for r in m.collect())
+    assert total == read_extracted(spark, out).count()
+
+
+def test_unpinned_dir_with_commits_refused(spark, tmp_path):
+    """r5 review batch 3: a dir with committed buckets but NO n_buckets
+    pin (pre-pinning or lost pin) has an unknowable bucket universe —
+    resuming under ANY count could silently mis-cover, so it must refuse
+    (the old guard only caught counts smaller than the max committed id)."""
+    pages = generate_pages_df(spark, 100, partitions=2)
+    out = str(tmp_path / "unpinned")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction(
+            spark, pages, out, n_buckets=8, num_partitions=2,
+            fail_after_buckets=1,
+        )
+    os.remove(os.path.join(out, "_n_buckets"))  # simulate a pre-pin dir
+    with pytest.raises(ValueError, match="no n_buckets pin"):
+        run_extraction(spark, pages, out, n_buckets=4, num_partitions=2)

@@ -173,7 +173,7 @@ def test_host_running_totals_stateful(spark, tmp_path):
     want = {
         r["host"]: (2 * r["c"], 2 * r["b"])
         for r in pages.groupBy(
-            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
         )
         .agg(F.count("*").alias("c"), F.sum(F.length("html")).alias("b"))
         .collect()
@@ -291,3 +291,25 @@ def test_stream_sessions_equal_batch_sessions(spark, tmp_path):
         if r["user_id"] != flusher_id
     }
     assert got == want
+
+
+def test_host_col_pathless_urls(spark):
+    """r5 review batch 3: path-less URLs (https://example.com — no
+    trailing slash) must yield their real host, not '' — the old pattern
+    collapsed every root-URL page of every domain into one state key."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from universal_text_extractor_spark.streaming.stateful import host_col
+
+    rows = spark.createDataFrame(
+        [
+            Row(url="https://example.com"),
+            Row(url="https://example.com/"),
+            Row(url="https://other.org/a/b.html"),
+            Row(url="http://example.com:8080"),
+        ]
+    ).select(host_col(F.col("url")).alias("h")).collect()
+    assert [r["h"] for r in rows] == [
+        "example.com", "example.com", "other.org", "example.com:8080",
+    ]

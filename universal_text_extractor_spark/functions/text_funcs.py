@@ -27,16 +27,21 @@ def normalized_text_col(text: Column) -> Column:
 
 
 def token_count_col(text: Column) -> Column:
-    """Whitespace token count; empty/blank text counts 0."""
-    t = F.trim(text)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, _WS)))
+    """Whitespace token count; empty/blank text counts 0. Token basis =
+    the NORMALIZED text: ``trim`` removes only ASCII spaces, so splitting
+    the raw text gave leading/trailing ``\\n``/``\\t`` docs a phantom
+    empty token — the same bug class the r5 shingle/simhash fixes closed
+    (r5 review, batch 3; oracle ``_words`` moves in lockstep)."""
+    t = normalized_text_col(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
 
 
 def words_col(text: Column) -> Column:
-    """Lowercased whitespace tokens (empty array for blank text)."""
-    t = F.trim(F.lower(text))
+    """Lowercased whitespace tokens (empty array for blank text) — over
+    the NORMALIZED text; see :func:`token_count_col` for why."""
+    t = normalized_text_col(text)
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, _WS)
+        F.split(t, " ")
     )
 
 

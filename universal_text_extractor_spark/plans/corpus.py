@@ -52,11 +52,26 @@ from ..functions.text_funcs import token_count_col
 
 def frame_documents(extracted: DataFrame) -> DataFrame:
     """Successful extractions → the documents shape the dedup/textstats
-    operators run on: (doc_id, url, source, lang, text, n_chars)."""
+    operators run on: (doc_id, url, source, lang, text, n_chars).
+
+    doc_id = md5_long(url ‖ md5(text)) with duplicates DROPPED — every
+    downstream purge (exact LEFT SEMI, near-dup LEFT ANTI, closure) keys
+    on doc_id and silently keeps every copy of a repeated id, so the id
+    must be row-unique. A url-only hash broke that for crawl REVISITS
+    (Common Crawl recaptures the same url constantly): same-url rows
+    shared one id and every copy survived the dedup whose whole purpose
+    is to remove them (r5 review, batch 3). Content-qualifying the id
+    gives changed revisits distinct ids (exact/near-dup judge them on
+    their text), and the dropDuplicates collapses byte-identical
+    (url, text) recaptures — rows with equal ids are fully identical,
+    so the collapse is deterministic. One exchange at ingest is the
+    price of a primary key on crawl data."""
     return (
         extracted.filter(F.col("success"))
         .select(
-            md5_long(F.col("url")).alias("doc_id"),
+            md5_long(
+                F.concat(F.col("url"), F.lit("\x1f"), F.md5(F.col("text")))
+            ).alias("doc_id"),
             "url",
             F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1).alias(
                 "source"
@@ -65,6 +80,7 @@ def frame_documents(extracted: DataFrame) -> DataFrame:
             "text",
             F.length("text").alias("n_chars"),
         )
+        .dropDuplicates(["doc_id"])
     )
 
 
@@ -100,6 +116,7 @@ def near_dup_purged(
     verify_jaccard: bool = True,
     closure: bool = False,
     flat: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup purge stage plan — the three production variants (see
     build_training_corpus for semantics).
@@ -109,7 +126,14 @@ def near_dup_purged(
     passes its STAGED parquet read so the signature/band/verify consumers
     re-scan one materialization of 8-byte keys instead of re-deriving the
     shingle subtree per use (r4 verdict item #2: that re-derivation was
-    the verified-pair path's 3× cost over bucket-min)."""
+    the verified-pair path's 3× cost over bucket-min).
+
+    ``sigs``: an optional precomputed (doc_id, sig) MinHash-signature
+    relation for the BUCKET-MIN branch, which consumes its band rows
+    TWICE (the bucket-min aggregate and the doomed join sides share no
+    exchange) — a staged 1-row-per-doc signatures parquet makes each
+    reference a cheap re-scan + explode instead of a full re-derivation
+    of the shingle pipeline (r5 review, batch 3)."""
     if closure and not verify_jaccard:
         # ADVICE r4: closure semantics are defined over the VERIFIED pair
         # graph; silently falling back to bucket-min here surprised
@@ -135,7 +159,9 @@ def near_dup_purged(
         # bucket-min kill: keep a doc iff it IS the min of every bucket
         # it lands in (equivalently: one anti-join against the set of
         # docs that are non-min somewhere). Aggregate is map-combinable.
-        if flat is not None:
+        if sigs is not None:
+            bands = lsh_bands_from_sigs(sigs)
+        elif flat is not None:
             bands = lsh_bands_from_sigs(minhash_signatures_from_flat(flat))
         else:
             from ..operators.dedup import lsh_bands
@@ -179,8 +205,9 @@ def build_training_corpus(
 
     ``verify_jaccard=False`` switches the near-dup stage to the
     bucket-min kill: a document dies when any of its LSH band-buckets
-    contains a lower doc_id — one map-combinable aggregate + one
-    LEFT SEMI join, NO pair materialization. A template-heavy crawl can
+    contains a lower doc_id — a map-combinable (band, bucket) min
+    aggregate, a join back to the band rows to name the non-min docs,
+    and one LEFT ANTI join; NO pair materialization. A template-heavy crawl can
     put millions of docs into one bucket; the verified-pair path then
     does quadratic work inside that cluster while the bucket-min path
     stays linear. The trade is recall precision (a single-band collision
@@ -249,18 +276,31 @@ def build_training_corpus(
     # near-dup purge: keep-first (a doc that is the HIGHER id of any
     # verified pair dies), transitive closure (r3 verdict item #6: ONE
     # survivor per verified-pair component — differs from keep-first on
-    # chains, where keep-first keeps both endpoints), or the pair-free
-    # bucket-min fast path. The verified-pair variants consume the flat
-    # shingle rows FOUR times (signatures, both sides of the candidate
-    # intersection, per-doc counts) — staging them once to parquet, as
-    # (doc_id, md5-long) 8-byte keys rather than strings, turns each
-    # consumer into a fixed-width columnar re-scan (r4 verdict item #2:
-    # the re-derivation was the 3× gap over bucket-min). Bucket-min uses
-    # the shingles exactly once, so staging would be pure overhead there.
+    # shapes where a doc pairs only with LATER ids, e.g. pairs
+    # (a,c),(b,c): keep-first keeps {a,b}, closure keeps {a}; on chains
+    # (a,b),(b,c) both keep only {a}), or the pair-free bucket-min fast
+    # path. The verified-pair variants consume the flat shingle rows FOUR
+    # times (signatures, both sides of the candidate intersection,
+    # per-doc counts) — staging them once to parquet, as (doc_id,
+    # md5-long) 8-byte keys rather than strings, turns each consumer into
+    # a fixed-width columnar re-scan (r4 verdict item #2: the
+    # re-derivation was the 3× gap over bucket-min). Bucket-min consumes
+    # its BAND rows twice (the min aggregate and the doomed join share no
+    # exchange), so it stages the tiny 1-row-per-doc SIGNATURES instead
+    # of the 25M-row shingles — the shingle pipeline then runs once, into
+    # the signatures write (r5 review, batch 3: the old "uses shingles
+    # exactly once" claim was wrong — the plan evaluated it twice).
     flat = None
+    sigs = None
     if verify_jaccard:
         flat = _staged_write(
             _shingle_hashes_flat(exact), f"{stage_dir}/shingles", "shingles"
+        )
+    else:
+        sigs = _staged_write(
+            minhash_signatures_from_flat(_shingle_hashes_flat(exact)),
+            f"{stage_dir}/signatures",
+            "signatures",
         )
     corpus = near_dup_purged(
         exact,
@@ -268,6 +308,7 @@ def build_training_corpus(
         verify_jaccard=verify_jaccard,
         closure=near_dup_closure,
         flat=flat,
+        sigs=sigs,
     )
 
     _staged_write(corpus, f"{out_dir}/corpus", "corpus")

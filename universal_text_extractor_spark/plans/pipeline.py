@@ -115,6 +115,7 @@ def run_extraction(
     num_partitions: int | None = None,
     run_id: str | None = None,
     fail_after_buckets: int | None = None,
+    fail_between_metrics_and_manifest: bool = False,
     fused: bool = True,
     use_ocr: bool = False,
     main_content: bool = False,
@@ -155,14 +156,17 @@ def run_extraction(
         )
     done = set(committed_buckets(spark, out_dir, storage))
     if pinned is None:
-        # unpinned dir (fresh, truncated pin, or created pre-pinning): any
-        # manifest id >= n_buckets proves the dir was built under a larger
-        # bucket universe — refuse rather than silently mis-cover
-        if done and max(done) >= n_buckets:
+        # unpinned dir (truncated pin or created pre-pinning) with
+        # committed buckets: the original n_buckets is unknowable, so ANY
+        # resume could mis-cover — the old max(done) >= n_buckets check
+        # only caught dirs built under a LARGER bucket universe and let a
+        # smaller-universe dir re-pin to the new count, silently skipping
+        # the low bucket ids' unextracted urls (r5 review, batch 3)
+        if done:
             raise ValueError(
-                f"out_dir has committed bucket ids up to {max(done)} but "
-                f"n_buckets={n_buckets}; it was created with a larger bucket "
-                "count — pass the original n_buckets or use a fresh out_dir"
+                f"out_dir has committed bucket ids {sorted(done)} but no "
+                "n_buckets pin; its original bucket count is unknowable, "
+                "so resuming could silently mis-cover — use a fresh out_dir"
             )
         os.makedirs(out_dir, exist_ok=True)
         # atomic pin: write-then-rename so a crash never leaves a truncated
@@ -264,6 +268,14 @@ def run_extraction(
             storage.append_metrics(
                 spark.createDataFrame(metric_rows, metrics.schema), out_dir
             )
+        if fail_between_metrics_and_manifest:
+            # crash-injection hook for the metrics-published-but-bucket-
+            # not-committed window (r5 review, batch 3): the bucket
+            # re-runs on resume and its metrics re-publish must REPLACE,
+            # not duplicate
+            raise RuntimeError(
+                f"injected failure between metrics and manifest (bucket {b})"
+            )
         storage.append_manifest(spark, out_dir, b, run_id)
         rows_written += sum(r["doc_count"] for r in metric_rows)
         committed.append(b)
@@ -338,7 +350,16 @@ def retention_cleanup(
     deleted = int(counts["n"]) - int(counts["kept"] or 0)
     if deleted == 0:
         return 0
-    df.filter(keep_cond).write.mode("overwrite").parquet(tmp)
+    # keep the bucket-partitioned layout append_metrics writes — a flat
+    # rewrite here would mix layouts with later per-bucket publishes.
+    # EXCEPT delete-all: an empty PARTITIONED write emits no files at all
+    # (unreadable schema); publish a flat schema-bearing empty table, and
+    # append_metrics clears that shape before re-partitioning
+    kept_df = df.filter(keep_cond)
+    if int(counts["kept"] or 0) == 0:
+        kept_df.write.mode("overwrite").parquet(tmp)
+    else:
+        kept_df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     if fail_before_publish:  # crash-injection hook for tests
         raise RuntimeError("injected crash before retention publish")
     # publish: retire old, promote new, then drop the retired copy

@@ -16,7 +16,7 @@ stage_is_committed     the staging table's snapshot exists in the catalog
 read_stage             SELECT * FROM stage (partition pruning by bucket)
 write_bucket           df.writeTo(tbl).append() — snapshot-atomic
 read_bucket            SELECT ... WHERE bucket = b
-append_metrics         writeTo(metrics).append()
+append_metrics         writeTo(metrics).overwritePartitions() on bucket
 append_manifest        writeTo(manifest).append() (or a snapshot summary)
 read_manifest_buckets  SELECT DISTINCT bucket FROM manifest
 drop_stage             DROP TABLE stage
@@ -96,7 +96,35 @@ class ParquetStorage:
         return spark.read.parquet(f"{out_dir}/extracted/bucket={bucket}")
 
     def append_metrics(self, metrics: DataFrame, out_dir: str) -> None:
-        metrics.write.mode("append").parquet(f"{out_dir}/metrics")
+        # dynamic partition overwrite on bucket: re-publishing a bucket's
+        # metrics after crash-resume REPLACES its rows instead of appending
+        # a duplicate set. The crash window is real: publish order is
+        # data → metrics → manifest, so dying between the last two leaves
+        # the bucket pending — it re-runs, and a plain append would
+        # double-count that bucket in every metrics consumer forever
+        # (r5 review, batch 3)
+        path = f"{out_dir}/metrics"
+        if os.path.isdir(path) and not any(
+            e.startswith("bucket=") for e in os.listdir(path)
+        ):
+            # a retention delete-ALL publishes a FLAT schema-bearing empty
+            # table (an empty partitioned write has no files and is
+            # unreadable) — clear it before re-introducing hive layout,
+            # but never silently discard a non-empty flat table
+            spark = metrics.sparkSession
+            if spark.read.parquet(path).isEmpty():
+                shutil.rmtree(path)
+            else:
+                raise ValueError(
+                    f"{path} holds a non-partitioned, non-empty metrics "
+                    "table — refusing to mix layouts"
+                )
+        (
+            metrics.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
 
     def append_manifest(
         self, spark: SparkSession, out_dir: str, bucket: int, run_id: str
@@ -106,16 +134,19 @@ class ParquetStorage:
         ).write.mode("append").parquet(self._manifest(out_dir))
 
     def read_manifest_buckets(self, spark: SparkSession, out_dir: str) -> list[int]:
-        try:
-            return [
-                r["bucket"]
-                for r in spark.read.parquet(self._manifest(out_dir))
-                .select("bucket")
-                .distinct()
-                .collect()
-            ]
-        except Exception:  # first run: no manifest yet
-            return []
+        # probe the path instead of swallowing every read error: a corrupt
+        # manifest or transient FS failure must RAISE, not masquerade as a
+        # fresh run and silently re-extract (and double-append metrics for)
+        # the whole job (r5 review, batch 3)
+        if not os.path.exists(self._manifest(out_dir)):
+            return []  # first run: no manifest yet
+        return [
+            r["bucket"]
+            for r in spark.read.parquet(self._manifest(out_dir))
+            .select("bucket")
+            .distinct()
+            .collect()
+        ]
 
     def drop_stage(self, out_dir: str) -> None:
         shutil.rmtree(self._staged(out_dir), ignore_errors=True)
@@ -230,7 +261,23 @@ class IcebergStorage:
         )
 
     def append_metrics(self, metrics: DataFrame, out_dir: str) -> None:
-        self._append(metrics, self._tbl(out_dir, "metrics"))
+        # same idempotence contract as ParquetStorage: per-bucket partition
+        # overwrite, so a crash-resume re-publish replaces rather than
+        # duplicates the bucket's rows
+        spark = metrics.sparkSession
+        self._ensure_ns(spark)
+        tbl = self._tbl(out_dir, "metrics")
+        if spark.catalog.tableExists(tbl):
+            metrics.writeTo(tbl).overwritePartitions()
+        else:
+            from pyspark.sql import functions as F
+
+            (
+                metrics.writeTo(tbl)
+                .using("iceberg")
+                .partitionedBy(F.col("bucket"))
+                .create()
+            )
 
     def append_manifest(
         self, spark: SparkSession, out_dir: str, bucket: int, run_id: str

@@ -365,7 +365,6 @@ def _pdf_doc_pages(
             )
         content_nums.append(add(body))
 
-    pages_tree_num = npages + len(content_nums) + 2  # computed below properly
     # reserve: we add page objects now, then the pages node, then catalog
     for p in range(npages):
         if cid_font:

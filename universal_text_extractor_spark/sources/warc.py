@@ -44,9 +44,9 @@ _MAX_HEADER = 64 * 1024  # a WARC header block larger than this is garbage
 _BATCH_ROWS = 1024  # Arrow batch flush: row cap ...
 _BATCH_BYTES = 32 * 1024 * 1024  # ... and payload-byte cap
 
-PAGES_SCHEMA = (
-    "url string, warc_ts timestamp, html binary, text string, lang string"
-)
+# single source of truth for the pages-table contract (r5 review,
+# batch 3: a verbatim copy here could silently fork from the generator's)
+from .pages_gen import PAGES_SCHEMA
 
 
 def _iter_decompressed(f):
