@@ -333,3 +333,144 @@ def test_webp_heic_header_metadata():
     ):
         t, _, _, err, _ = extract_payload("https://x/blob", bad, "image")
         assert t == "[Image file - OCR not enabled]" and err is None, bad[:16]
+
+
+def _cfb_direntry(name, typ, left, right, child, start, size):
+    import struct
+
+    nb = name.encode("utf-16-le") + b"\x00\x00"
+    return (
+        nb + b"\x00" * (64 - len(nb))
+        + struct.pack("<HBB", len(nb), typ, 1)
+        + struct.pack("<III", left, right, child)
+        + b"\x00" * 36
+        + struct.pack("<IQ", start, size)
+    )
+
+
+def _cfb_header(major, ssz_shift, num_fat, first_dir):
+    import struct
+
+    h = (
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+        + b"\x00" * 16
+        + struct.pack("<HHHHH", 0x003E, major, 0xFFFE, ssz_shift, 6)
+        + b"\x00" * 6
+        + struct.pack("<IIII", 0, num_fat, first_dir, 0)
+        + struct.pack("<IIIII", 0, 0xFFFFFFFE, 0, 0xFFFFFFFE, 0)
+        + struct.pack("<I", 0)
+        + b"\xff" * (108 * 4)
+    )
+    assert len(h) == 512
+    return h
+
+
+def test_cfb_nested_storage_does_not_clobber_toplevel_stream():
+    """r5 review batch 4: real Outlook .msg files repeat __substg property
+    names inside attachment storages; the flat name-keyed walk let the
+    NESTED copy clobber the top-level one (last dir order wins). Streams
+    under non-root storages are now excluded from the flat dict."""
+    import struct
+
+    from universal_text_extractor_spark.kernels.cfb import CfbFile
+
+    END, FREE, NOSTREAM = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFF
+    top, nested = b"TOPLEVEL" * 64, b"NESTED!!" * 64  # 512 each
+    fat = [0xFFFFFFFD, END, END, END] + [FREE] * 124
+    directory = (
+        _cfb_direntry("Root Entry", 5, NOSTREAM, NOSTREAM, 1, END, 0)
+        + _cfb_direntry("S", 2, NOSTREAM, 2, NOSTREAM, 2, len(top))
+        + _cfb_direntry("Att", 1, NOSTREAM, NOSTREAM, 3, 0, 0)
+        + _cfb_direntry("S", 2, NOSTREAM, NOSTREAM, NOSTREAM, 3, len(nested))
+    )
+    payload = (
+        _cfb_header(3, 9, 1, 1)
+        + struct.pack("<128I", *fat)
+        + directory
+        + top
+        + nested
+    )
+    f = CfbFile(payload)
+    assert f.streams["S"] == top  # nested copy excluded, not clobbering
+
+
+def test_cfb_v4_sector_addressing():
+    """r5 review batch 4: [MS-CFB] places sector n at (n+1)*sector_size;
+    the old 512 + n*ssz form was v3-only and read v4 (4096-byte-sector)
+    files 3584 bytes off. A minimal v4 file must round-trip."""
+    import struct
+
+    from universal_text_extractor_spark.kernels.cfb import CfbFile
+
+    END, FREE, NOSTREAM = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFF
+    data = bytes(range(256)) * 16  # 4096
+    fat = [0xFFFFFFFD, END, END] + [FREE] * 1021
+    directory = (
+        _cfb_direntry("Root Entry", 5, NOSTREAM, NOSTREAM, 1, END, 0)
+        + _cfb_direntry("W", 2, NOSTREAM, NOSTREAM, NOSTREAM, 2, len(data))
+    )
+    directory += b"\x00" * (4096 - len(directory))
+    payload = (
+        _cfb_header(4, 12, 1, 1)
+        + b"\x00" * 3584  # header sector padded to 4096
+        + struct.pack("<1024I", *fat)
+        + directory
+        + data
+    )
+    f = CfbFile(payload)
+    assert f.streams["W"] == data
+
+
+def _mini_xlsx(parts: dict) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, data in parts.items():
+            z.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), data)
+    return buf.getvalue()
+
+
+def test_xlsx_sheet_paths_resolved_via_rels():
+    """r5 review batch 4: after a sheet delete, remaining parts can be
+    sheet1.xml and sheet3.xml while the workbook lists two sheets —
+    enumeration paired the second name with nonexistent sheet2.xml and
+    silently dropped it. r:id -> rels target pairing must be used."""
+    from universal_text_extractor_spark.kernels.office_kernel import extract_xlsx
+
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    wb = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        f'xmlns:r="{R}"><sheets>'
+        '<sheet name="Alpha" sheetId="1" r:id="rId1"/>'
+        '<sheet name="Gamma" sheetId="3" r:id="rId2"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="x" Target="worksheets/sheet3.xml"/>'
+        "</Relationships>"
+    )
+
+    def ws(text):
+        return (
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f'<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>{text}</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    payload = _mini_xlsx(
+        {
+            "xl/workbook.xml": wb,
+            "xl/_rels/workbook.xml.rels": rels,
+            "xl/worksheets/sheet1.xml": ws("first"),
+            "xl/worksheets/sheet3.xml": ws("third"),
+        }
+    )
+    text, _ = extract_xlsx(payload)
+    assert "--- Sheet: Alpha ---" in text and "first" in text
+    # without rels resolution, Gamma paired with missing sheet2.xml and
+    # "third" was silently lost
+    assert "--- Sheet: Gamma ---" in text and "third" in text

@@ -309,3 +309,57 @@ def test_interlaced_gif_decodes_like_plain():
         a = next(iter(decode_gif_frames(make_gif(fr), max_frames=2)[2]))[1]
         b = next(iter(decode_gif_frames(make_gif(fr, interlace=True), max_frames=2)[2]))[1]
         assert np.array_equal(a, b), h
+
+
+def test_avi_top_down_frames_not_mirrored():
+    """r5 review batch 4: negative biHeight = TOP-DOWN DIB (rows stored
+    top-first). The decoder flipped unconditionally, mirroring every
+    frame of legal top-down AVIs. A top-down re-encoding of the same
+    content must decode to identical frames."""
+    import struct
+
+    import numpy as np
+
+    from universal_text_extractor_spark.kernels.video_kernel import open_avi
+    from universal_text_extractor_spark.sources.pages_gen import make_avi
+
+    frames = [
+        [[(x * 16, y * 16, (x + y) * 8) for x in range(4)] for y in range(4)]
+        for _ in range(2)
+    ]
+    bottom_up = make_avi(frames, fps=5)
+
+    # transform into the equivalent top-down file: negate biHeight and
+    # reverse the row order of every 00db frame payload
+    h, w = 4, 4
+    stride = (w * 3 + 3) & ~3
+    buf = bytearray(bottom_up)
+    strf = bottom_up.find(b"strf")
+    assert strf > 0
+    (bi_h,) = struct.unpack_from("<i", buf, strf + 8 + 8)
+    assert bi_h == h
+    struct.pack_into("<i", buf, strf + 8 + 8, -h)
+    pos = 0
+    patched = 0
+    while True:
+        pos = bottom_up.find(b"00db", pos)
+        if pos < 0:
+            break
+        (sz,) = struct.unpack_from("<I", bottom_up, pos + 4)
+        if sz == stride * h:  # a real frame chunk (idx1 entries differ)
+            payload = np.frombuffer(
+                bytes(buf[pos + 8 : pos + 8 + sz]), np.uint8
+            ).reshape(h, stride)
+            buf[pos + 8 : pos + 8 + sz] = payload[::-1].tobytes()
+            patched += 1
+        pos += 4
+    assert patched == 2
+    top_down = bytes(buf)
+
+    def decode(b):
+        opened = open_avi(b)
+        assert opened is not None
+        _, _, it = opened
+        return [arr.tolist() for _, arr in it]
+
+    assert decode(top_down) == decode(bottom_up)

@@ -313,3 +313,25 @@ def test_damaged_trailer_plus_stream_dict_decoy_stays_plaintext():
     text = extract_pdf(tampered)[0]
     assert text != CORRUPT_LITERAL
     assert "prose mentions /Encrypt 5 0 R here" in text
+
+
+def test_incremental_update_extracts_latest_revision():
+    """r5 review batch 4: an appended revision (signed docs, annotation
+    saves) redefines an object after the previous %%EOF — the LATER
+    definition must win, like xref-based readers resolve it. Pure
+    first-wins extracted the stale pre-update content. Within one
+    revision first-wins still guards against 'N 0 obj' byte patterns
+    inside stream data."""
+    pdf = _minimal_pdf_with_string(b"original text before the update")
+    new_content = b"BT /F1 12 Tf 72 720 Td (updated text after signing) Tj ET"
+    update = (
+        b"4 0 obj\n<< /Length "
+        + str(len(new_content)).encode()
+        + b" >>\nstream\n"
+        + new_content
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    )
+    text = extract_pdf(pdf + update)[0]
+    assert "updated text after signing" in text
+    assert "original text before the update" not in text

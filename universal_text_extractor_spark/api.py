@@ -122,33 +122,21 @@ class TextExtractor:
         try:
             with open(image_path, "rb") as f:
                 payload = f.read()
-            from .kernels.ocr_kernel import (
-                NO_TEXT_LITERAL,
-                _KNOWN_LANGS,
-                normalize_language,
-                perform_ocr,
-                recognize_gray_opts,
+            from .kernels.ocr_kernel import perform_ocr
+
+            # perform_ocr runs the identical language-check / decode /
+            # preprocess / recognize / literal pipeline; a params dict
+            # (defaults merged in preprocess_gray) selects the K14 chain,
+            # None skips it — the old hand-inlined preprocess branch was
+            # a drifting duplicate (r5 review, batch 4). preprocess_params
+            # mirrors the reference's dict (utils/image_processing.py:31)
+            # incl. the r5 adaptive_threshold analogue of its OpenCV stage
+            text = perform_ocr(
+                payload,
+                language,
+                handwriting_mode,
+                (preprocess_params or {}) if preprocess else None,
             )
-
-            if preprocess:
-                from .kernels.image_prep import preprocess_image
-
-                if normalize_language(language) not in _KNOWN_LANGS:
-                    text = NO_TEXT_LITERAL
-                else:
-                    # preprocess_params mirrors the reference's dict
-                    # (utils/image_processing.py:31) including the r5
-                    # adaptive_threshold analogue of its OpenCV stage
-                    processed = preprocess_image(payload, preprocess_params)
-                    if processed is None:
-                        text = NO_TEXT_LITERAL
-                    else:
-                        text = (
-                            recognize_gray_opts(processed, handwriting_mode)
-                            or NO_TEXT_LITERAL
-                        )
-            else:
-                text = perform_ocr(payload, language, handwriting_mode)
             return {
                 "success": True,
                 "text": text,
@@ -166,10 +154,14 @@ class TextExtractor:
             }
 
     def get_supported_formats(self) -> dict[str, Any]:
-        """Reference :131-140."""
+        """Reference :131-140. ``images`` mirrors the reference's
+        SUPPORTED_IMAGE_FORMATS (the extension list), not the dispatch
+        family name — BRANCH_FAMILIES['image'] is the tuple ('image',)
+        and reported the branch label instead of formats (r5 review,
+        batch 4)."""
         return {
             "documents": list(SUPPORTED_FILE_TYPES.keys()),
-            "images": list(BRANCH_FAMILIES.get("image", ())),
+            "images": list(SUPPORTED_FILE_TYPES["Images"]),
             "ocr_available": self.ocr_available,
             "ocr_backends": self.ocr_backends,
         }

@@ -33,7 +33,12 @@ class CfbFile:
     def __init__(self, payload: bytes):
         if len(payload) < 512 or payload[:8] != CFB_MAGIC:
             raise ValueError("not an OLE2 compound file")
+        major = _u16(payload, 26)
+        if major not in (3, 4):
+            raise ValueError(f"unsupported CFB major version {major}")
         ssz = 1 << _u16(payload, 30)
+        if (major, ssz) not in ((3, 512), (4, 4096)):
+            raise ValueError(f"CFB v{major} with sector size {ssz}")
         mini_ssz = 1 << _u16(payload, 32)
         num_fat = _u32(payload, 44)
         first_dir = _u32(payload, 48)
@@ -45,7 +50,10 @@ class CfbFile:
             raise ValueError("DIFAT chains not supported")
 
         def sector(n: int) -> bytes:
-            off = 512 + n * ssz
+            # [MS-CFB]: sector #n starts at (n+1)*sector_size — the header
+            # occupies the whole first sector (512 bytes padded to 4096 in
+            # v4; the old 512 + n*ssz form was v3-only, r5 review batch 4)
+            off = (n + 1) * ssz
             if off + ssz > len(payload):
                 raise ValueError(f"sector {n} out of range")
             return payload[off : off + ssz]
@@ -72,18 +80,53 @@ class CfbFile:
                 minifat.extend(struct.unpack(f"<{ssz // 4}I", sector(s)))
 
         dirdata = b"".join(sector(s) for s in chain(first_dir, fat))
-        entries = []  # (name, obj_type, start, size)
+        raw = []  # id-aligned: (name, obj_type, left, right, child, start, size)
         for off in range(0, len(dirdata) - 127, 128):
             obj_type = dirdata[off + 66]
-            if obj_type not in (2, 5):
-                continue
             name_len = _u16(dirdata, off + 64)
-            if name_len < 2:
-                continue
-            name = dirdata[off : off + name_len - 2].decode("utf-16-le", "replace")
-            entries.append(
-                (name, obj_type, _u32(dirdata, off + 116), _u32(dirdata, off + 120))
+            name = ""
+            if 2 <= name_len <= 64:
+                name = dirdata[off : off + name_len - 2].decode(
+                    "utf-16-le", "replace"
+                )
+            raw.append(
+                (
+                    name,
+                    obj_type,
+                    _u32(dirdata, off + 68),
+                    _u32(dirdata, off + 72),
+                    _u32(dirdata, off + 76),
+                    _u32(dirdata, off + 116),
+                    _u32(dirdata, off + 120),
+                )
             )
+
+        # Streams under NON-root storages (e.g. a .msg attachment's
+        # embedded-message storage) must NOT land in the flat name dict:
+        # real Outlook files repeat __substg property names inside
+        # attachment storages, and a flat last-wins walk let a nested
+        # subject/body CLOBBER the top-level one (r5 review, batch 4).
+        # Walk each non-root storage's child subtree (left/right are
+        # red-black siblings, child descends a level) and exclude it.
+        NOSTREAM = 0xFFFFFFFF
+        nested: set[int] = set()
+        root_idx = next((i for i, e in enumerate(raw) if e[1] == 5), None)
+        for i, e in enumerate(raw):
+            if e[1] == 1 and i != root_idx:  # non-root storage
+                stack, hops = [e[4]], 0
+                while stack:
+                    j = stack.pop()
+                    hops += 1
+                    if j == NOSTREAM or j >= len(raw) or j in nested or hops > len(raw) * 4:
+                        continue
+                    nested.add(j)
+                    stack.extend((raw[j][2], raw[j][3], raw[j][4]))
+
+        entries = [
+            (e[0], e[1], e[5], e[6])
+            for i, e in enumerate(raw)
+            if e[1] in (2, 5) and e[0] and i not in nested
+        ]
 
         roots = [e for e in entries if e[1] == 5]
         ministream = b""

@@ -293,10 +293,33 @@ def extract_xlsx(payload: bytes) -> tuple[str, list[str]]:
             for si in _iter_local(ss, "si"):
                 shared.append(_text_of(si, "t"))
         wb = _zip_xml(zf, "xl/workbook.xml")
+        # resolve sheet parts via workbook.xml.rels r:id (r5 review,
+        # batch 4: after a sheet delete/reorder the element order no
+        # longer matches sheetN.xml numbering — enumeration paired names
+        # with the wrong or a nonexistent part); enumeration stays the
+        # fallback for writers that omit the rels part
+        rels: dict[str, str] = {}
+        rel_root = _zip_xml(zf, "xl/_rels/workbook.xml.rels")
+        if rel_root is not None:
+            for rel in _iter_local(rel_root, "Relationship"):
+                rid, target = rel.get("Id"), rel.get("Target", "")
+                if rid and target:
+                    t = target.lstrip("/")
+                    rels[rid] = t if t.startswith("xl/") else f"xl/{t}"
         sheets = []  # (name, path)
         if wb is not None:
             for i, sh in enumerate(_iter_local(wb, "sheet"), start=1):
-                sheets.append((sh.get("name", f"Sheet{i}"), f"xl/worksheets/sheet{i}.xml"))
+                rid = next(
+                    (v for k, v in sh.attrib.items() if k.endswith("}id")),
+                    None,
+                )
+                path = rels.get(rid) if rid else None
+                sheets.append(
+                    (
+                        sh.get("name", f"Sheet{i}"),
+                        path or f"xl/worksheets/sheet{i}.xml",
+                    )
+                )
         sheet_texts = []
         for name, path in sheets:
             root = _zip_xml(zf, path)
@@ -308,6 +331,13 @@ def extract_xlsx(payload: bytes) -> tuple[str, list[str]]:
                 for c in (c for c in row if _local(c.tag) == "c"):
                     v = next(_iter_local(c, "v"), None)
                     raw = v.text if v is not None and v.text else ""
+                    if not raw and c.get("t") == "inlineStr":
+                        # inline-string cells carry <is><t>…</t></is> and
+                        # no <v> — they extracted as empty (r5 review,
+                        # batch 4)
+                        is_el = next(_iter_local(c, "is"), None)
+                        if is_el is not None:
+                            raw = "".join(is_el.itertext())
                     if c.get("t") == "s" and raw:
                         try:
                             raw = shared[int(raw)]
@@ -344,7 +374,7 @@ def extract_ods(payload: bytes) -> tuple[str, list[str]]:
             for row in _iter_local(table, "table-row"):
                 row_values = []
                 for cell in (c for c in row if _local(c.tag) == "table-cell"):
-                    ps = [_text_of(p, None) if False else "".join(p.itertext()) for p in _iter_local(cell, "p")]
+                    ps = ["".join(p.itertext()) for p in _iter_local(cell, "p")]
                     row_values.append(" ".join(ps) if ps else "")
                 table_text.append(" | ".join(row_values))
             table_texts.append("\n".join(table_text))

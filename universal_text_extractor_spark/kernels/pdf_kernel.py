@@ -289,15 +289,34 @@ def _scan_objects(payload: bytes):
     but /Type /ObjStm object streams (PDF 1.5+, where modern writers
     compress the page-tree dicts; reference PyMuPDF reads them natively)
     ARE unpacked: their embedded objects get offset None (they are plain
-    values — the spec forbids streams inside object streams)."""
+    values — the spec forbids streams inside object streams).
+
+    Incremental updates (signed docs, annotation saves — an appended
+    revision redefines object N after the previous ``%%EOF``): the LATER
+    revision's definition wins, matching the xref-based readers and the
+    trailer's own last-wins rule. WITHIN one revision the FIRST
+    definition still wins — that is the guard against ``N 0 obj`` byte
+    patterns inside stream data overriding the real object (r5 review,
+    batch 4: pure first-wins extracted the STALE pre-update content)."""
+    eof_offsets = [m.start() for m in re.finditer(rb"%%EOF", payload)]
+
+    def _rev(off: int) -> int:
+        from bisect import bisect_right
+
+        return bisect_right(eof_offsets, off)
+
     objs: dict[int, tuple[object, int | None]] = {}
     gens: dict[int, int] = {}
+    revs: dict[int, int] = {}
     for m in _OBJ_RE.finditer(payload):
         num = int(m.group(1))
+        r = _rev(m.start())
+        if num in objs and r <= revs[num]:
+            continue
         val, end = _parse_obj(payload, m.end())
-        if num not in objs:
-            objs[num] = (val, end)
-            gens[num] = int(m.group(2))
+        objs[num] = (val, end)
+        gens[num] = int(m.group(2))
+        revs[num] = r
     crypt = _find_crypt(payload, objs, gens)
     for num in list(objs):
         d = objs[num][0]
@@ -317,13 +336,18 @@ def _scan_objects(payload: bytes):
         except Exception:
             continue
         for onum, ooff in pairs:
-            if onum in objs:
+            # an embedded object never overrides a SAME-or-later-revision
+            # direct definition; a later revision's ObjStm overrides
+            # earlier revisions (incremental-update semantics above)
+            crev = revs.get(num, 0)
+            if onum in objs and crev <= revs.get(onum, 0):
                 continue
             try:
                 val, _end = _parse_obj(data, first + ooff)
             except Exception:
                 continue
             objs[onum] = (val, None)
+            revs[onum] = crev
     return objs, crypt
 
 

@@ -56,10 +56,18 @@ def extract_rtf(src: str) -> tuple[str, list[str]]:
                             out.append("\u00a0")
                         elif sym == "'":
                             hexpair = src[m.end() : m.end() + 2]
-                            try:
-                                out.append(bytes([int(hexpair, 16)]).decode("windows-1252"))
-                            except Exception:
-                                pass
+                            # a \'hh directly after \uN is the ANSI
+                            # fallback for that unicode char (Word emits
+                            # one for every non-Latin char) — it must be
+                            # CONSUMED by the pending skip, not emitted
+                            # alongside (r5 review, batch 4)
+                            if pending_uc_skip:
+                                pending_uc_skip -= 1
+                            else:
+                                try:
+                                    out.append(bytes([int(hexpair, 16)]).decode("windows-1252"))
+                                except Exception:
+                                    pass
                             i = m.end() + 2
                             continue
                         elif sym == "*":

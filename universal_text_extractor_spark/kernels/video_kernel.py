@@ -55,6 +55,7 @@ def open_avi(
         delay_ms = 100
         movi_span = None
         have_vids = False
+        top_down = False
         # RIFF size at offset 4 counts from offset 8 (form type + chunks)
         riff_end = min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])
         for cid, start, clen in _chunks(b, 12, riff_end):
@@ -78,6 +79,10 @@ def open_avi(
                                 if bpp != 24 or comp != 0:
                                     return None  # compressed / non-DIB video
                                 w, h = int(bi_w), abs(int(bi_h))
+                                # negative biHeight = TOP-DOWN DIB: rows
+                                # are already top-first and must not be
+                                # flipped (r5 review, batch 4)
+                                top_down = int(bi_h) < 0
                                 have_vids = True
                                 if rate:
                                     delay_ms = max(
@@ -103,8 +108,9 @@ def open_avi(
                 raise AviError("truncated frame")
             raw = np.frombuffer(b, np.uint8, stride * h, start)
             rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-            # DIB rows are bottom-up BGR
-            yield delay_ms, rows[::-1, :, ::-1].copy()
+            # DIB rows are bottom-up BGR (top-down when biHeight < 0)
+            orows = rows if top_down else rows[::-1]
+            yield delay_ms, orows[:, :, ::-1].copy()
             seen = True
         if not seen:
             raise AviError("no frames")
