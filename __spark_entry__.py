@@ -252,7 +252,7 @@ def _minhash_sig_sql() -> str:
         "hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> "
         + _H.format(x="s")
         + ") AS shash FROM sh), "
-        f"sig AS (SELECT doc_id, shingles, len(shingles) AS n_sh, [{per}] AS sig "
+        f"sig AS (SELECT doc_id, shash, len(shingles) AS n_sh, [{per}] AS sig "
         f"FROM hs WHERE len(shingles) > 0)"
     )
 
@@ -269,7 +269,11 @@ def _minhash_lsh_sql(threshold: float) -> str:
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         " FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
         "j AS (SELECT c.doc_a, c.doc_b, "
-        " len(list_intersect(sa.shingles, sb.shingles)) AS inter, sa.n_sh AS na, sb.n_sh AS nb "
+        # intersect over the md5-long HASHES, not strings: the Spark side
+        # verifies over hashed shingle rows, so the md5 bridge must be
+        # rule-identical — a prefix collision has to move both engines
+        # together, as dd3's oracle already guarantees (r5 review, batch 5)
+        " len(list_intersect(sa.shash, sb.shash)) AS inter, sa.n_sh AS na, sb.n_sh AS nb "
         " FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b) "
         "SELECT doc_a, doc_b, round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard "
         f"FROM j WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= {threshold}"

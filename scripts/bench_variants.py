@@ -3,9 +3,12 @@
 
 Usage: bench_variants.py <cores> <variant>
 Variants:
-  persist   — current bench path (persist MEMORY_AND_DISK)
-  nopersist — ReusedExchange: branches re-read shuffle output
-  disk      — persist DISK_ONLY (serialized, low GC)
+  persist          — current bench path (persist MEMORY_AND_DISK)
+  nopersist        — ReusedExchange: branches re-read shuffle output
+  disk             — persist DISK_ONLY (serialized, low GC)
+  onepass          — fused single-pass mapInPandas dispatch
+  onepass-norepart — fused without the salted repartition
+  noop             — onepass plan shape, kernel skipped (data-movement floor)
 Prints one JSON line with wall seconds for the timed region.
 """
 from __future__ import annotations

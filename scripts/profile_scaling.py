@@ -58,8 +58,11 @@ def main(cores: int, rows: int) -> None:
     )
     all_typed = [t for types in BRANCH_FAMILIES.values() for t in types]
     branches = []
+    # one shared dispatch UDF (the former per-family `family` arg is gone;
+    # passing it positionally would bind to use_ocr and silently profile
+    # the OCR path — r5 review, batch 5)
+    udf = X._branch_udf()
     for family, types in BRANCH_FAMILIES.items():
-        udf = X._branch_udf(family)
         pred = (
             F.col("content_type") == types[0]
             if len(types) == 1

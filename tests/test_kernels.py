@@ -474,3 +474,36 @@ def test_xlsx_sheet_paths_resolved_via_rels():
     # without rels resolution, Gamma paired with missing sheet2.xml and
     # "third" was silently lost
     assert "--- Sheet: Gamma ---" in text and "third" in text
+
+
+def test_cfb_writer_streams_reachable_via_directory_tree():
+    """r5 review batch 5: the writer's directory entries previously had
+    all-NOSTREAM sibling links, orphaning streams 2..n for any conforming
+    reader that walks the tree from the root's child (olefile, Office).
+    Every stream must be reachable via left/right/child pointers."""
+    import struct
+
+    from universal_text_extractor_spark.sources.pages_gen import _cfb_build
+
+    streams = {f"Strm{i}": bytes([i]) * (100 + i) for i in range(5)}
+    payload = _cfb_build(streams)
+    NOSTREAM = 0xFFFFFFFF
+
+    def entry(i):
+        # header @0, FAT = sector 0 @512, directory = sector 1 @1024
+        off = 1024 + i * 128
+        name_len = struct.unpack_from("<H", payload, off + 64)[0]
+        name = payload[off : off + max(name_len - 2, 0)].decode("utf-16-le")
+        left, right, child = struct.unpack_from("<III", payload, off + 68)
+        return name, left, right, child
+
+    _, _, _, root_child = entry(0)
+    seen, stack = set(), [root_child]
+    while stack:
+        i = stack.pop()
+        if i == NOSTREAM or i > len(streams):
+            continue
+        name, left, right, _child = entry(i)
+        seen.add(name)
+        stack.extend((left, right))
+    assert seen == set(streams)

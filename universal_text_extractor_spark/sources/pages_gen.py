@@ -203,7 +203,8 @@ def _pdf_doc_pages(
         return len(objects)  # 1-based object number
 
     handler = None
-    enc_meta: tuple[bytes, bytes, bytes, int, int, int] | None = None
+    # (o, u, id, p, r, v, ue, oe, perms) — ue/oe/perms are b"" outside AES-256
+    enc_meta: tuple[bytes, bytes, bytes, int, int, int, bytes, bytes, bytes] | None = None
     if encrypt is not None:
         import hashlib as _hl
 
@@ -2699,12 +2700,15 @@ def _cfb_build(streams: dict[str, bytes]) -> bytes:
     )
     assert len(header) == 512
 
-    def direntry(nm: str, typ: int, child: int, start: int, sz: int) -> bytes:
+    def direntry(
+        nm: str, typ: int, child: int, start: int, sz: int,
+        right: int = 0xFFFFFFFF,
+    ) -> bytes:
         nb = nm.encode("utf-16-le") + b"\x00\x00"
         return (
             nb + b"\x00" * (64 - len(nb))
             + _st.pack("<HBB", len(nb), typ, 1)
-            + _st.pack("<III", 0xFFFFFFFF, 0xFFFFFFFF, child)
+            + _st.pack("<III", 0xFFFFFFFF, right, child)
             + b"\x00" * 16  # clsid
             + _st.pack("<I", 0) + b"\x00" * 16  # state, times
             + _st.pack("<IQ", start, sz)
@@ -2716,9 +2720,16 @@ def _cfb_build(streams: dict[str, bytes]) -> bytes:
             s_mini0 if has_mini else 0xFFFFFFFE, len(mini_blob),
         )
     ]
-    for n, d in streams.items():
+    # sibling links form a right-spine from the root's child, so EVERY
+    # stream is reachable by a conforming directory-tree walk (r5 review,
+    # batch 5: all-NOSTREAM links orphaned streams 2..n for tree-walking
+    # readers like olefile/Office; our linear parser never noticed)
+    names = list(streams)
+    for k, n in enumerate(names):
+        d = streams[n]
         start = big_start[n] if len(d) >= CUTOFF else mini_start[n]
-        entries.append(direntry(n, 2, 0xFFFFFFFF, start, len(d)))
+        right = (k + 2) if k < len(names) - 1 else 0xFFFFFFFF
+        entries.append(direntry(n, 2, 0xFFFFFFFF, start, len(d), right))
     directory = b"".join(entries)
     directory += b"\x00" * (n_dir_sec * SSZ - len(directory))
 
