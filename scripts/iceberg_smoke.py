@@ -30,8 +30,14 @@ CTAS/append/overwritePartitions/DROP through IcebergStorage.
 
 from __future__ import annotations
 
+import pathlib
 import sys
 import tempfile
+
+# plain `python scripts/iceberg_smoke.py` puts scripts/ (not the repo
+# root) on sys.path; under spark-submit the --py-files zip provides the
+# package instead, and this line is a harmless no-op on a cluster
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:

@@ -16,6 +16,13 @@ docstring has the measured guidance).
 from __future__ import annotations
 
 import argparse
+import pathlib
+import sys
+
+# plain `python scripts/run_corpus.py` puts scripts/ (not the repo root)
+# on sys.path; under spark-submit the --py-files zip provides the package
+# instead, and this line is a harmless no-op on a cluster
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
@@ -48,6 +55,16 @@ def main() -> None:
             "--near-dup-closure requires the verified-pair path; "
             "drop --no-verify-jaccard (closure is defined over the "
             "verified-pair graph)"
+        )
+    if args.extracted and (args.use_ocr or args.main_content or args.warc):
+        # same contract as the closure/no-verify guard: flags that only
+        # affect a stage this invocation skips must fail loudly, not
+        # silently do nothing (--extracted reuses a committed extraction
+        # run — OCR/main-content/WARC choices were made by THAT run)
+        ap.error(
+            "--use-ocr/--main-content/--warc configure the extraction "
+            "stage, which --extracted skips; re-run the extraction with "
+            "those flags instead"
         )
 
     from pyspark.sql import SparkSession

@@ -16,6 +16,13 @@ committed bucket (anti-join manifest; Iceberg snapshots in production).
 from __future__ import annotations
 
 import argparse
+import pathlib
+import sys
+
+# plain `python scripts/run_pipeline.py` puts scripts/ (not the repo root)
+# on sys.path; under spark-submit the --py-files zip provides the package
+# instead, and this line is a harmless no-op on a cluster
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
