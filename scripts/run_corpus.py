@@ -66,6 +66,9 @@ def main() -> None:
             "stage, which --extracted skips; re-run the extraction with "
             "those flags instead"
         )
+    if not (args.pages or args.extracted):
+        # fail before the Spark session spins up
+        ap.error("need --pages or --extracted")
 
     from pyspark.sql import SparkSession
 
@@ -87,10 +90,8 @@ def main() -> None:
         from universal_text_extractor_spark.sources.warc import read_warc
 
         pages = read_warc(spark, args.pages)
-    elif args.pages:
+    else:  # args.pages — guaranteed by the pre-session guard
         pages = spark.read.parquet(args.pages)
-    else:
-        ap.error("need --pages or --extracted")
 
     from universal_text_extractor_spark.plans.corpus import build_training_corpus
 
